@@ -1,0 +1,19 @@
+"""dealii_asm_tpu — a TPU-native matrix-free high-order FEM multigrid framework.
+
+Rebuilds the capabilities of peterrum/dealii-asm (cache-optimized additive-Schwarz
+multigrid smoothers for high-order FEM) as an idiomatic JAX/XLA/Pallas framework:
+
+- sum-factorized tensor-product Laplace operators over batched cells (``ops.laplace``),
+- element-centric / vertex-patch additive & restricted Schwarz smoothers with
+  fast-diagonalization (FDM) local solves (``precond.asm``),
+- Chebyshev (1st/4th kind) and relaxation smoothing with Lanczos/power-iteration
+  eigenvalue estimation (``solvers.chebyshev``),
+- hybrid geometric/polynomial multigrid V-cycles (``precond.multigrid``),
+- Krylov solvers (CG/FCG/GMRES/FGMRES/BiCGStab) (``solvers.krylov``),
+- structured meshes with Kershaw / anisotropic / sinusoidal deformations (``mesh``),
+- SPMD sharding of the cell-batch axis over a jax device mesh (``parallel``).
+
+Reference: /root/reference (peterrum/dealii-asm); see SURVEY.md for the layer map.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,243 @@
+"""Matrix-free sum-factorized Laplace operator (JAX).
+
+TPU-native rebuild of ``LaplaceOperatorMatrixFree``
+(/root/reference/include/operator.h:269-1628).  The reference evaluates cell
+integrals with deal.II FEEvaluation (even-odd sum factorization over SIMD cell
+batches); here the cell batch is the leading array axis and the 1D contractions
+are batched matmuls XLA places on the MXU.  Constrained (Dirichlet) rows act as
+identity, matching deal.II matrix-free convention
+(/root/reference/include/matrix_free_internal.h:247-255).
+
+Two compute paths:
+- ``sumfac``: staged 1D contractions (7 fwd + 7 bwd in 3D) — fewest FLOPs;
+- ``fused-B``: one batched (C×L)·(L×dim·Q) matmul for all gradients — more FLOPs
+  but MXU-shaped; selectable because on TPU the MXU often wins at moderate p.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofs import DofHandler
+from ..fem.lagrange import shape_1d
+from ..mesh.grid import _tensor_gradient, _tensor_weights
+from .geometry import GeometryData, compute_geometry
+
+
+def _apply_1d(mat: jnp.ndarray, u: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract ``mat`` (q, n) against local axis ``axis`` of u (C, ..., n, ...).
+
+    axis counts the local tensor axes only (0 = slowest local axis).
+    """
+    # move target axis last, matmul, move back
+    full_axis = 1 + axis
+    u = jnp.moveaxis(u, full_axis, -1)
+    u = jnp.matmul(u, mat.T)
+    return jnp.moveaxis(u, -1, full_axis)
+
+
+class LaplaceOperator:
+    """Poisson/Laplace operator on a DofHandler.
+
+    Parameters mirror the reference operator's AdditionalData (compress_indices
+    and mapping_type are TPU-reinterpreted: geometry kind is chosen from the mesh).
+    """
+
+    def __init__(
+        self,
+        dofs: DofHandler,
+        n_q_1d: int | None = None,
+        mapping_degree: int | None = None,
+        dtype=jnp.float64,
+        geometry: GeometryData | None = None,
+        kernel: str = "sumfac",
+    ):
+        self.dofs = dofs
+        self.mesh = dofs.mesh
+        self.degree = dofs.degree
+        self.dim = self.mesh.dim
+        self.n_q_1d = n_q_1d or (self.degree + 1)
+        self.dtype = dtype
+        self.kernel = kernel
+        if mapping_degree is None:
+            mapping_degree = 1 if self.mesh.transform is None else min(self.degree, 3)
+        self.mapping_degree = mapping_degree
+
+        geo = geometry or compute_geometry(self.mesh, self.n_q_1d, mapping_degree)
+        self.geometry = geo
+
+        s = shape_1d(self.degree, self.n_q_1d)
+        self.N1 = jnp.asarray(s.N, dtype)   # (q, n)
+        self.D1 = jnp.asarray(s.D, dtype)   # (q, n)
+        self._shape = s
+
+        self.cell_dofs = jnp.asarray(dofs.cell_dofs)           # (C, L) int32
+        self.n_dofs = dofs.n_dofs
+        self.constrained = jnp.asarray(dofs.boundary_mask)     # (n,) bool
+
+        if geo.kind == "cartesian":
+            self.cell_widths = jnp.asarray(geo.cell_widths, dtype)  # (C, dim)
+            self.quad_w = jnp.asarray(geo.quad_weights, dtype)      # (Q,)
+            self.coeff = None
+        else:
+            self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
+        self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
+
+        # reference-gradient tensor for the fused-B path and diagonal computation
+        B = _tensor_gradient(s.N, s.D, self.dim)  # (Q, L, dim)
+        self._B_np = B
+        self.B = jnp.asarray(B, dtype)
+
+        self._vmult = jax.jit(self._vmult_impl)
+
+    # -- local integral -------------------------------------------------------
+
+    def _local_shape(self, n):
+        return (-1,) + (n,) * self.dim
+
+    def _gradients_sumfac(self, u):
+        """u (C, n^dim flattened local, x fastest) -> gradients at q (C, Q, dim)."""
+        n = self.degree + 1
+        q = self.n_q_1d
+        u = u.reshape(self._local_shape(n))  # (C, [z, y,] x) x = last
+        dim = self.dim
+        N, D = self.N1, self.D1
+        grads = []
+        # local axes: axis index (0..dim-1), axis dim-1 is x (fastest)
+        # direction d refers to coordinate d (x = 0), stored at local axis dim-1-d
+        if dim == 2:
+            t0 = _apply_1d(N, u, 1)              # N_x : (C, y, qx)
+            gy = _apply_1d(D, t0, 0)             # D_y
+            gx = _apply_1d(N, _apply_1d(D, u, 1), 0)
+            grads = [gx, gy]
+        elif dim == 3:
+            t0 = _apply_1d(N, u, 2)              # N_x : (C, z, y, qx)
+            t1 = _apply_1d(N, t0, 1)             # N_y : (C, z, qy, qx)
+            gz = _apply_1d(D, t1, 0)
+            gy = _apply_1d(N, _apply_1d(D, t0, 1), 0)
+            gx = _apply_1d(N, _apply_1d(N, _apply_1d(D, u, 2), 1), 0)
+            grads = [gx, gy, gz]
+        else:
+            raise NotImplementedError(dim)
+        Q = q**dim
+        return jnp.stack([g.reshape(-1, Q) for g in grads], axis=2)  # (C, Q, dim)
+
+    def _integrate_sumfac(self, t):
+        """t (C, Q, dim) -> v (C, L): v = Σ_d ∫ ∂_d φ · t_d."""
+        n = self.degree + 1
+        q = self.n_q_1d
+        dim = self.dim
+        N, D = self.N1.T, self.D1.T  # transposed: (n, q)
+        Qshape = (-1,) + (q,) * dim
+        parts = []
+        if dim == 2:
+            tx = t[:, :, 0].reshape(Qshape)
+            ty = t[:, :, 1].reshape(Qshape)
+            vx = _apply_1d(N, _apply_1d(D, tx, 1), 0)
+            vy = _apply_1d(D, _apply_1d(N, ty, 1), 0)
+            v = vx + vy
+        else:
+            tx = t[:, :, 0].reshape(Qshape)
+            ty = t[:, :, 1].reshape(Qshape)
+            tz = t[:, :, 2].reshape(Qshape)
+            vx = _apply_1d(N, _apply_1d(N, _apply_1d(D, tx, 2), 1), 0)
+            vy = _apply_1d(N, _apply_1d(D, _apply_1d(N, ty, 2), 1), 0)
+            vz = _apply_1d(D, _apply_1d(N, _apply_1d(N, tz, 2), 1), 0)
+            v = vx + vy + vz
+        return v.reshape(v.shape[0], -1)
+
+    def _apply_coefficient(self, g):
+        """g (C, Q, dim) reference gradients -> coefficient-scaled (C, Q, dim)."""
+        if self.coeff is not None:
+            return jnp.einsum("cqde,cqe->cqd", self.coeff, g)
+        # cartesian: coeff diag = w_q * prod(h) / h_d^2
+        h = self.cell_widths  # (C, dim)
+        detj = jnp.prod(h, axis=1, keepdims=True)  # (C, 1)
+        scale = detj / (h * h)  # (C, dim)
+        return g * self.quad_w[None, :, None] * scale[:, None, :]
+
+    def apply_cells(self, u_cells):
+        """Local cell integral: (C, L) -> (C, L)."""
+        if self.kernel == "fused-B":
+            # g[c,q,d] = Σ_l B[q,l,d] u[c,l] — one (C×L)·(L×dim·Q) MXU matmul
+            g = jnp.einsum("qld,cl->cqd", self.B, u_cells)
+            t = self._apply_coefficient(g)
+            return jnp.einsum("qld,cqd->cl", self.B, t)
+        g = self._gradients_sumfac(u_cells)
+        t = self._apply_coefficient(g)
+        return self._integrate_sumfac(t)
+
+    # -- global apply ----------------------------------------------------------
+
+    def _vmult_impl(self, u):
+        u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
+        uc = u0[self.cell_dofs]  # (C, L)
+        v = self.apply_cells(uc)
+        dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(v.reshape(-1))
+        return jnp.where(self.constrained, u, dst)
+
+    def vmult(self, u):
+        return self._vmult(u)
+
+    def __call__(self, u):
+        return self._vmult(u)
+
+    # -- diagonal / rhs / dense -------------------------------------------------
+
+    def compute_inverse_diagonal(self):
+        """Matrix-free diagonal (constrained rows = 1), inverted.
+
+        Mirrors compute_inverse_diagonal (/root/reference/include/operator.h:1512).
+        """
+        if self.coeff is not None:
+            local = jnp.einsum("cqde,qld,qle->cl", self.coeff, self.B, self.B)
+        else:
+            h = self.cell_widths
+            detj = jnp.prod(h, axis=1, keepdims=True)
+            scale = detj / (h * h)  # (C, dim)
+            wq = self.quad_w
+            local = jnp.einsum("q,cd,qld->cl", wq, scale, self.B * self.B)
+        diag = jnp.zeros(self.n_dofs, self.dtype).at[self.cell_dofs.reshape(-1)].add(
+            local.reshape(-1)
+        )
+        diag = jnp.where(self.constrained, 1.0, diag)
+        return 1.0 / diag
+
+    def assemble_rhs(self, f, dirichlet=None):
+        """b_i = ∫ f φ_i with inhomogeneous Dirichlet lift (operator.h:297-395 analog)."""
+        geo = self.geometry
+        fq = np.asarray(f(geo.q_points.reshape(-1, self.dim))).reshape(geo.jxw.shape)
+        s = self._shape
+        Nval = _tensor_values(s.N, self.dim)  # (Q, L)
+        local = np.einsum("cq,ql->cl", geo.jxw * fq, Nval)
+        b = np.zeros(self.n_dofs)
+        np.add.at(b, np.asarray(self.dofs.cell_dofs).reshape(-1), local.reshape(-1))
+        mask = np.asarray(self.dofs.boundary_mask)
+        if dirichlet is not None:
+            g = np.zeros(self.n_dofs)
+            g[mask] = np.asarray(dirichlet(self.dofs.points[mask]))
+            if np.any(g != 0.0):
+                ag = np.asarray(self.vmult(jnp.asarray(np.where(mask, 0.0, g), self.dtype)))
+                # A(0 with g at constrained) under our vmult is zero at free rows;
+                # we need A·g restricted to free rows: do the cell loop with g values.
+                gc = np.asarray(g)[np.asarray(self.dofs.cell_dofs)]
+                v = np.asarray(self.apply_cells(jnp.asarray(gc, self.dtype)))
+                lift = np.zeros(self.n_dofs)
+                np.add.at(lift, np.asarray(self.dofs.cell_dofs).reshape(-1), v.reshape(-1))
+                b = b - lift
+            b[mask] = g[mask]
+        else:
+            b[mask] = 0.0
+        return jnp.asarray(b, self.dtype)
+
+
+def _tensor_values(N: np.ndarray, dim: int) -> np.ndarray:
+    out = np.array([[1.0]])
+    for _ in range(dim):
+        out = np.kron(out, N)
+    return out
