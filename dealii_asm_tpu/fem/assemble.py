@@ -59,3 +59,76 @@ def assemble_laplace(
         z = sp.diags((~mask).astype(np.float64))
         A = z @ A @ z + sp.diags(mask.astype(np.float64))
     return A
+
+
+def iso_q1_reference_mass_stiffness_1d(degree: int, points: str = "lobatto"):
+    """1D reference M/K for FE_Q_iso_Q1: p linear sub-elements on the GLL
+    ('lobatto') or equidistant subdivision of [0,1].
+
+    The reference builds these spaces at
+    /root/reference/include/precondition.templates.h:49-76 (FE_Q_iso_Q1 with
+    QGaussLobatto subdivision points or equidistant) to approximate patch
+    blocks; spectra are compared in /root/reference/eigenvalues_01.cc.
+    """
+    from .lagrange import gauss_lobatto_points
+
+    if points == "lobatto":
+        x = gauss_lobatto_points(degree + 1)
+    elif points == "equidistant":
+        x = np.linspace(0.0, 1.0, degree + 1)
+    else:
+        raise ValueError(points)
+    n = degree + 1
+    M = np.zeros((n, n))
+    K = np.zeros((n, n))
+    for e in range(degree):
+        h = x[e + 1] - x[e]
+        M[e : e + 2, e : e + 2] += np.array([[2, 1], [1, 2]]) * h / 6.0
+        K[e : e + 2, e : e + 2] += np.array([[1, -1], [-1, 1]]) / h
+    return M, K
+
+
+def assemble_laplace_iso_q1(
+    dofs: DofHandler, points: str = "lobatto", constrained: str = "identity"
+) -> sp.csr_matrix:
+    """Global Laplace matrix of the FE_Q_iso_Q1 approximation space.
+
+    Exact for Cartesian (axis-aligned affine) meshes via separable 1D matrices;
+    for deformed meshes this approximates the reference's curved FE_Q_iso_Q1
+    re-discretization by the same separable structure per cell (the blocks it
+    feeds are themselves approximations — see precondition.templates.h:33-85).
+    """
+    p = dofs.degree
+    dim = dofs.mesh.dim
+    M1, K1 = iso_q1_reference_mass_stiffness_1d(p, points)
+
+    h = np.asarray(dofs.mesh.harmonic_cell_extents(p + 1))  # (C, dim)
+    C = h.shape[0]
+    n1 = p + 1
+    L = n1**dim
+
+    # local matrix: sum_d kron(..., K_d/h_d, ..., M_e*h_e, ...)
+    A_loc = np.zeros((C, L, L))
+    for d in range(dim):
+        mats = []
+        for e in reversed(range(dim)):  # slowest (last dim) to fastest (x)
+            mats.append(K1 if e == d else M1)
+        local = np.array([[1.0]])
+        for m in mats:
+            local = np.kron(local, m)
+        scale = np.ones(C)
+        for e in range(dim):
+            scale = scale * (1.0 / h[:, e] if e == d else h[:, e])
+        A_loc += scale[:, None, None] * local[None, :, :]
+
+    cd = np.asarray(dofs.cell_dofs, dtype=np.int64)
+    rows = np.repeat(cd, L, axis=1).ravel()
+    cols = np.tile(cd, (1, L)).ravel()
+    A = sp.coo_matrix(
+        (A_loc.reshape(-1), (rows, cols)), shape=(dofs.n_dofs, dofs.n_dofs)
+    ).tocsr()
+    if constrained == "identity":
+        mask = dofs.boundary_mask
+        z = sp.diags((~mask).astype(np.float64))
+        A = z @ A @ z + sp.diags(mask.astype(np.float64))
+    return A

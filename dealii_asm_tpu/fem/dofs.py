@@ -16,7 +16,10 @@ from functools import cached_property
 
 import numpy as np
 
-from ..mesh.grid import StructuredMesh
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from ..mesh.grid import StructuredMesh
 
 
 @dataclass(frozen=True)
@@ -91,7 +94,7 @@ class DofHandler:
             k = mi[:, d]
             cell = np.minimum(k // p, self.mesh.n_cells[d] - 1)
             off = k - cell * p
-            coords[:, d] = (cell + gll[off]) * h[d]
+            coords[:, d] = self.mesh.origin[d] + (cell + gll[off]) * h[d]
         if self.mesh.transform is not None:
             coords = np.asarray(self.mesh.transform(coords))
         return coords

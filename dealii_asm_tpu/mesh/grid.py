@@ -38,12 +38,15 @@ class StructuredMesh:
     lengths: tuple[float, ...] = None  # box side lengths; default all 1.0
     periodic: tuple[bool, ...] = None
     transform: object = None  # callable (N, dim) -> (N, dim) or None
+    origin: tuple[float, ...] = None  # box lower corner; default all 0.0
 
     def __post_init__(self):
         if self.lengths is None:
             object.__setattr__(self, "lengths", tuple(1.0 for _ in range(self.dim)))
         if self.periodic is None:
             object.__setattr__(self, "periodic", tuple(False for _ in range(self.dim)))
+        if self.origin is None:
+            object.__setattr__(self, "origin", tuple(0.0 for _ in range(self.dim)))
         assert len(self.n_cells) == self.dim
 
     # -- topology -----------------------------------------------------------
@@ -98,7 +101,9 @@ class StructuredMesh:
         """Map per-cell reference coords (P, dim) in [0,1]^dim to box coords (C, P, dim)."""
         mi = self.cell_multi_index().astype(np.float64)  # (C, dim)
         h = self.h
-        return (mi[:, None, :] + unit_pts[None, :, :]) * h[None, None, :]
+        return np.asarray(self.origin)[None, None, :] + (
+            mi[:, None, :] + unit_pts[None, :, :]
+        ) * h[None, None, :]
 
     def physical_points(self, unit_pts: np.ndarray) -> np.ndarray:
         """Physical coordinates of per-cell reference points: (C, P, dim)."""
@@ -137,8 +142,11 @@ class StructuredMesh:
         (/root/reference/include/grid_tools.h:11-50): for each axis d, average
         over face quadrature points of |x(face0, q) - x(face1, q)|.
         """
-        q, w = gauss_points(n_q_1d)
         C = self.n_cells_total
+        if self.transform is None:
+            # axis-aligned affine: extents are the box cell widths exactly
+            return np.broadcast_to(self.h, (C, self.dim)).copy()
+        q, w = gauss_points(n_q_1d)
         out = np.empty((C, self.dim))
         for d in range(self.dim):
             # face quadrature lattice on the two faces orthogonal to axis d

@@ -1,0 +1,258 @@
+"""JSON-config-driven Poisson solver — the main driver.
+
+Rebuilds /root/reference/element_centered_preconditioners_01.cc: config schema,
+mesh families (hypercube, symmetric hypercube, anisotropy, kershaw(-mp)),
+rhs functions, operator, preconditioner construction (including the Multigrid
+branch with h/p/hp/ph level layouts and intermediate-level split,
+:508-749), Krylov solve with ReductionControl, and the org-mode convergence
+table.  The hyperball family needs genuinely unstructured patches and is
+deferred (SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofs import DofHandler
+from ..fem.functions import make_rhs_and_dbc
+from ..mesh.grid import StructuredMesh
+from ..mesh.transforms import kershaw_transform
+from ..ops.laplace import LaplaceOperator
+from ..ops.transfer import TwoLevelTransfer, p_sequence
+from ..precond.factory import create_system_preconditioner
+from ..precond.multigrid import Multigrid
+from ..solvers.krylov import solve as krylov_solve
+from ..utils.config import get_child, get_param
+from ..utils.table import ConvergenceTable
+
+
+@dataclass(frozen=True)
+class MeshFamily:
+    """A refinement family of structured meshes (replaces the reference's
+    triangulation + create_geometric_coarsening_sequence)."""
+
+    dim: int
+    base_cells: tuple[int, ...]          # cells per dim at refinement 0
+    n_refinements: int                   # global refinements applied to base
+    lengths: tuple[float, ...]
+    origin: tuple[float, ...]
+    transform: object
+    mapping_degree: int
+    name: str
+
+    def mesh_at(self, refinement: int) -> StructuredMesh:
+        cells = tuple(c * (1 << refinement) for c in self.base_cells)
+        return StructuredMesh(self.dim, cells, lengths=self.lengths,
+                              origin=self.origin, transform=self.transform)
+
+    @property
+    def fine_mesh(self) -> StructuredMesh:
+        return self.mesh_at(self.n_refinements)
+
+    @property
+    def n_levels(self) -> int:
+        """deal.II n_global_levels of the fine triangulation."""
+        return self.n_refinements + 1
+
+
+def make_mesh_family(params: dict, log=lambda *_: None) -> MeshFamily:
+    """Mesh families of the driver
+    (/root/reference/element_centered_preconditioners_01.cc:302-415)."""
+    dim = int(get_param(params, "dim", 2))
+    n_refine = int(get_param(params, "n refinements", 6))
+    mesh_p = get_child(params, "mesh")
+    name = get_param(mesh_p, "name", "hypercube")
+    mapping_degree = int(get_param(params, "mapping degree", 10))
+
+    if name == "hypercube":
+        ns = int(get_param(mesh_p, "n subdivisions", 1))
+        log("- Create mesh: hypercube\n")
+        return MeshFamily(dim, (ns,) * dim, n_refine, (1.0,) * dim,
+                          (0.0,) * dim, None, min(mapping_degree, 1), name)
+    if name == "symmetric hypercube":
+        ns = int(get_param(mesh_p, "n subdivisions", 1))
+        log("- Create mesh: symmetric hypercube\n")
+        return MeshFamily(dim, (ns,) * dim, n_refine, (2.0,) * dim,
+                          (-1.0,) * dim, None, min(mapping_degree, 1), name)
+    if name == "anisotropy":
+        stretch = float(get_param(mesh_p, "stratch", 1.0))
+        log(f"- Create mesh: anisotropy\n  - stratch: {stretch:g}\n")
+        lengths = tuple([1.0] * (dim - 1) + [stretch])
+        # the stretch is an axis scaling: stays Cartesian-affine (fast geometry)
+        return MeshFamily(dim, (1,) * dim, n_refine, lengths,
+                          (0.0,) * dim, None, 1, name)
+    if name in ("kershaw", "kershaw-mp"):
+        epsy = float(get_param(mesh_p, "epsy", 0.0))
+        epsz = float(get_param(mesh_p, "epsz", 0.0))
+        if epsy == 0.0 or epsz == 0.0:
+            eps = float(get_param(mesh_p, "eps", 1.0))
+            epsy = epsz = eps
+        ni = int(get_param(mesh_p, "n initial refinements", 1))
+        ns = int(get_param(mesh_p, "n subdivisions", 3))
+        log(f"- Create mesh: kershaw\n  - epsx: 1\n  - epsy: {epsy:g}\n  - epsz: {epsz:g}\n")
+        base = ns * (1 << ni)
+        tf = kershaw_transform(epsy, epsz, shift_mp=(name == "kershaw-mp"))
+        return MeshFamily(dim, (base,) * dim, n_refine, (1.0,) * dim,
+                          (0.0,) * dim, tf, min(mapping_degree, 3), name)
+    raise ValueError(f"mesh family <{name}> not implemented (hyperball pending)")
+
+
+def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
+                     fine_op: LaplaceOperator, log, dtype) -> Multigrid:
+    precon_p = params
+    mg_type = get_param(precon_p, "mg type", "h")
+    mg_p_seq = get_param(precon_p, "mg p sequence", "bisect")
+    log(f" - type:       {mg_type}")
+    log(f" - p sequence: {mg_p_seq}\n")
+
+    degrees = p_sequence(fe_degree, mg_p_seq)  # ascending
+    n_trias = family.n_refinements + 1
+
+    levels: list[tuple[int, int]] = []  # (refinement, degree)
+    if mg_type == "h":
+        levels = [(r, degrees[-1]) for r in range(n_trias)]
+    elif mg_type == "p":
+        levels = [(family.n_refinements, d) for d in degrees]
+    elif mg_type == "hp":
+        levels = [(0, d) for d in degrees]
+        levels += [(r, degrees[-1]) for r in range(n_trias)]
+    elif mg_type == "ph":
+        levels = [(r, degrees[0]) for r in range(n_trias)]
+        levels += [(family.n_refinements, d) for d in degrees]
+    else:
+        raise ValueError(f"Multigrid variant <{mg_type}> is not known!")
+    # drop consecutive duplicates at hp/ph junctions (the reference keeps an
+    # identity-transfer duplicate level; a no-op level changes nothing)
+    dedup = [levels[0]]
+    for lv in levels[1:]:
+        if lv != dedup[-1]:
+            dedup.append(lv)
+    levels = dedup
+
+    # intermediate level: last level with degree 1 seen from the top
+    intermediate = 0
+    for i in range(len(levels) - 1, -1, -1):
+        if levels[i][1] == 1:
+            intermediate = i
+            break
+
+    # build level operators
+    ops = []
+    dofs_list = []
+    for r, d in levels:
+        mesh = family.mesh_at(r)
+        dofs = DofHandler(mesh, d)
+        op = LaplaceOperator(dofs, mapping_degree=family.mapping_degree
+                             if family.transform is not None else None,
+                             dtype=dtype)
+        log(f"- Create operator:\n  - n cells:          {mesh.n_cells_total}\n"
+            f"  - n dofs:           {dofs.n_dofs}\n")
+        dofs_list.append(dofs)
+        ops.append(op)
+
+    transfers = [TwoLevelTransfer(dofs_list[i], dofs_list[i + 1], dtype=dtype)
+                 for i in range(len(levels) - 1)]
+
+    smoother_p = get_child(params, "mg smoother")
+    interm_p = get_child(params, "mg intermediate smoother")
+    if not interm_p.get("type"):
+        interm_p = smoother_p
+    coarse_p = get_child(params, "mg coarse grid solver")
+    one_sided = get_param(params, "one-sided v-cycle", False)
+    n_coarse_cycles = int(get_param(params, "n coarse cycles", 1))
+
+    def make_smoother(level: int, p: dict):
+        log(f"- Setting up smoother on level {level}\n")
+        return create_system_preconditioner(ops[level], p, log)
+
+    log("- Setting up coarse-grid solver on level 0\n")
+    coarse = create_system_preconditioner(ops[0], coarse_p, log)
+
+    if intermediate > 0:
+        inner_smoothers = [make_smoother(l, interm_p)
+                           for l in range(1, intermediate + 1)]
+        inner = Multigrid([o.vmult for o in ops[: intermediate + 1]],
+                          inner_smoothers, transfers[:intermediate],
+                          coarse.vmult, one_sided=one_sided)
+        outer_smoothers = [make_smoother(l, smoother_p)
+                           for l in range(intermediate + 1, len(levels))]
+        coarse_fn = inner.vmult
+        return Multigrid([o.vmult for o in ops[intermediate:]],
+                         outer_smoothers, transfers[intermediate:], coarse_fn,
+                         one_sided=one_sided, n_coarse_cycles=n_coarse_cycles)
+
+    smoothers = [make_smoother(l, smoother_p) for l in range(1, len(levels))]
+    return Multigrid([o.vmult for o in ops], smoothers, transfers, coarse.vmult,
+                     one_sided=one_sided, n_coarse_cycles=n_coarse_cycles)
+
+
+def run_config(params: dict, table: ConvergenceTable | None = None,
+               log=print, dtype=jnp.float64):
+    """Run one config; returns a result dict (the reference's table row)."""
+    table = table or ConvergenceTable()
+    fe_degree = int(get_param(params, "degree", 1))
+    family = make_mesh_family(params, log)
+    mesh = family.fine_mesh
+    dofs = DofHandler(mesh, fe_degree)
+    op = LaplaceOperator(dofs, dtype=dtype)
+
+    rhs_name = get_param(params, "rhs", "constant")
+    rhs_fn, dbc_fn = make_rhs_and_dbc(rhs_name, family.dim)
+    b = op.assemble_rhs(rhs_fn, dirichlet=dbc_fn)
+
+    table.add_value("name", family.name)
+    table.add_value("n_cells", mesh.n_cells_total)
+    table.add_value("L", family.n_levels)
+    table.add_value("n_dofs", dofs.n_dofs)
+
+    precon_p = get_child(params, "preconditioner")
+    ptype = precon_p.get("type", "")
+    if ptype == "Multigrid":
+        log("- Create system preconditioner: Multigrid")
+        precon = _build_multigrid(precon_p, family, fe_degree, op, log, dtype)
+    else:
+        precon = create_system_preconditioner(op, precon_p, log)
+
+    solver_p = get_child(params, "solver")
+    solver_type = get_param(solver_p, "type", "")
+    max_it = int(get_param(solver_p, "max iterations", 1000))
+    abs_tol = float(get_param(solver_p, "abs tolerance", 1e-10))
+    rel_tol = float(get_param(solver_p, "rel tolerance", 1e-2))
+    log(f" - Solving with {solver_type}")
+    log(f"   - max iterations: {max_it}")
+    log(f"   - abs tolerance:  {abs_tol:g}")
+    log(f"   - rel tolrance:   {rel_tol:g}")
+
+    kwargs = {}
+    if solver_type == "GMRES":
+        kwargs["right_preconditioning"] = get_param(
+            solver_p, "use right preconditioning", True)
+        ortho = get_param(solver_p, "orthogonalization strategy",
+                          "classical gram schmidt")
+        kwargs["orthogonalization"] = (
+            "classical" if ortho.startswith("classical") else "modified")
+        mtv = int(get_param(solver_p, "max n tmp vectors", 0))
+        if mtv > 0:
+            kwargs["restart"] = mtv - 2
+    result = krylov_solve(solver_type, op.vmult, b, M=precon.vmult,
+                          max_iterations=max_it, abs_tolerance=abs_tol,
+                          rel_tolerance=rel_tol, **kwargs)
+    if result.converged:
+        log(f"   - n iterations:   {result.n_iterations}\n")
+        table.add_value("it", result.n_iterations)
+    else:
+        log("   - DID NOT CONVERGE!\n")
+        table.add_value("it", 999)
+    table.end_row()
+    return {
+        "n_cells": mesh.n_cells_total,
+        "L": family.n_levels,
+        "n_dofs": dofs.n_dofs,
+        "it": result.n_iterations if result.converged else 999,
+        "converged": result.converged,
+        "solution": result.x,
+        "table": table,
+    }

@@ -79,11 +79,25 @@ class LaplaceOperator:
         self.cell_dofs = jnp.asarray(dofs.cell_dofs)           # (C, L) int32
         self.n_dofs = dofs.n_dofs
         self.constrained = jnp.asarray(dofs.boundary_mask)     # (n,) bool
+        # lattice access: strided window slices instead of index-table
+        # gather/scatter (ops/lattice.py) — the TPU-native reduced access
+        self.access = "lattice"
+        self.grid_shape = tuple(reversed(dofs.nodes_per_dim))  # (Nz, Ny, Nx)
 
         if geo.kind == "cartesian":
             self.cell_widths = jnp.asarray(geo.cell_widths, dtype)  # (C, dim)
             self.quad_w = jnp.asarray(geo.quad_weights, dtype)      # (Q,)
             self.coeff = None
+            # separable per-axis 1D matrices: cells are uniform, so the whole
+            # cell operator is Σ_d K_d ⊗ Π_{e≠d} M_e with M_d = h_d·M_ref,
+            # K_d = K_ref/h_d (constant-coefficient fast path; the reference's
+            # Cartesian geometry representation, operator.h:917 analog)
+            from ..fem.lagrange import reference_mass_stiffness_1d
+
+            M_ref, K_ref = reference_mass_stiffness_1d(self.degree, self.n_q_1d)
+            h = self.mesh.h
+            self.M1d = [jnp.asarray(M_ref * h[d], dtype) for d in range(self.dim)]
+            self.K1d = [jnp.asarray(K_ref / h[d], dtype) for d in range(self.dim)]
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
@@ -174,15 +188,59 @@ class LaplaceOperator:
 
     # -- global apply ----------------------------------------------------------
 
+    def _cartesian_separable(self, w):
+        """Σ_d K_d ⊗ Π M_e on interleaved windows (m-axes at 1, 3, 5)."""
+        from .lattice import apply_axis_shared as ap
+
+        if self.dim == 2:
+            # axes: (Cy, my, Cx, mx); direction x = axis 3, y = axis 1
+            Mx, My = self.M1d[0], self.M1d[1]
+            Kx, Ky = self.K1d[0], self.K1d[1]
+            a = ap(w, 3, Mx)
+            v = ap(a, 1, Ky) + ap(ap(w, 3, Kx), 1, My)
+            return v
+        Mx, My, Mz = self.M1d
+        Kx, Ky, Kz = self.K1d
+        a = ap(w, 5, Mx)           # Mx u
+        b = ap(a, 3, My)           # My Mx u
+        v = ap(b, 1, Kz)           # Kz My Mx u
+        v = v + ap(ap(a, 3, Ky), 1, Mz)   # Mz Ky Mx u
+        v = v + ap(ap(ap(w, 5, Kx), 3, My), 1, Mz)  # Mz My Kx u
+        return v
+
     def _vmult_impl(self, u):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
-        uc = u0[self.cell_dofs]  # (C, L)
-        v = self.apply_cells(uc)
-        dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(v.reshape(-1))
+        if self.access == "lattice" and self.coeff is None:
+            from .lattice import grid_to_windows, windows_to_grid
+
+            mesh = self.mesh
+            w = grid_to_windows(u0.reshape(self.grid_shape), mesh.n_cells,
+                                self.degree, self.degree + 1, 1, mesh.periodic)
+            v = self._cartesian_separable(w)
+            dst = windows_to_grid(v, self.grid_shape, self.degree, 1,
+                                  mesh.periodic).reshape(-1)
+        elif self.access == "lattice":
+            from .lattice import cells_to_grid, grid_to_cells
+
+            mesh = self.mesh
+            uc = grid_to_cells(u0.reshape(self.grid_shape), mesh.n_cells,
+                               self.degree, self.degree + 1, 1, mesh.periodic)
+            v = self.apply_cells(uc)
+            dst = cells_to_grid(v, self.grid_shape, mesh.n_cells, self.degree,
+                                self.degree + 1, 1, mesh.periodic).reshape(-1)
+        else:
+            uc = u0[self.cell_dofs]  # (C, L)
+            v = self.apply_cells(uc)
+            dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(
+                v.reshape(-1))
         return jnp.where(self.constrained, u, dst)
 
     def vmult(self, u):
         return self._vmult(u)
+
+    def vmult_traceable(self, u):
+        """Un-jitted apply, for composition inside larger jitted programs."""
+        return self._vmult_impl(u)
 
     def __call__(self, u):
         return self._vmult(u)

@@ -1,0 +1,145 @@
+"""Multigrid transfer operators (p- and h-coarsening).
+
+Rebuilds deal.II's MGTwoLevelTransfer / MGTransferGlobalCoarsening as used by
+the reference (/root/reference/include/multigrid.h:336-346, benchmarked in
+/root/reference/transfer_01.likwid.cc): tensor-product cell-wise interpolation
+embedded through gather → 1D interpolation contractions → valence-weighted
+scatter.  Prolongation is pointwise polynomial interpolation of the coarse FE
+function at fine nodes; restriction is its exact transpose.
+
+p-transfer: same mesh, degree p_c → p_f; 1D matrix T[i,j] = N_j^{p_c}(x_i^{p_f}).
+h-transfer: mesh n → 2n cells, same degree; per coarse cell the fine lattice is
+the (2p+1)^dim union of the 2^dim children's GLL lattices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofs import DofHandler
+from ..fem.lagrange import gauss_lobatto_points, lagrange_values
+
+
+def _tensor_apply_all(T: jnp.ndarray, u: jnp.ndarray, dim: int, n_in: int):
+    """Apply the same 1D matrix T (n_out, n_in) along all local axes of u (C, n_in^dim)."""
+    shape = (-1,) + (n_in,) * dim
+    u = u.reshape(shape)
+    for axis in range(dim):
+        u = jnp.moveaxis(jnp.matmul(jnp.moveaxis(u, 1 + axis, -1), T.T), -1, 1 + axis)
+    return u.reshape(u.shape[0], -1)
+
+
+class TwoLevelTransfer:
+    """Transfer between a coarse and a fine DofHandler (p- or h-coarsening)."""
+
+    def __init__(self, coarse: DofHandler, fine: DofHandler, dtype=jnp.float64):
+        self.coarse = coarse
+        self.fine = fine
+        self.dim = coarse.mesh.dim
+        dim = self.dim
+        pc, pf = coarse.degree, fine.degree
+        same_mesh = coarse.mesh.n_cells == fine.mesh.n_cells
+
+        if same_mesh:
+            # p-transfer
+            assert pf >= pc
+            nodes_c = gauss_lobatto_points(pc + 1)
+            nodes_f = gauss_lobatto_points(pf + 1)
+            T1 = lagrange_values(nodes_c, nodes_f)  # (pf+1, pc+1)
+            self.coarse_idx = jnp.asarray(coarse.cell_dofs)  # (C, (pc+1)^dim)
+            self.fine_idx = jnp.asarray(fine.cell_dofs)      # (C, (pf+1)^dim)
+            self.n_in_1d = pc + 1
+        else:
+            # h-transfer: fine mesh has 2x cells per dim
+            assert pf == pc
+            assert all(f == 2 * c for c, f in zip(coarse.mesh.n_cells, fine.mesh.n_cells))
+            p = pc
+            nodes = gauss_lobatto_points(p + 1)
+            # fine nodes within the coarse cell: children [0,.5] and [.5,1]
+            xf = np.concatenate([nodes * 0.5, 0.5 + nodes[1:] * 0.5])  # (2p+1,)
+            T1 = lagrange_values(nodes, xf)  # (2p+1, p+1)
+            self.coarse_idx = jnp.asarray(coarse.cell_dofs)
+            self.fine_idx = jnp.asarray(self._fine_lattice_indices(coarse, fine))
+            self.n_in_1d = p + 1
+
+        self.T1 = jnp.asarray(T1, dtype)
+        self.n_out_1d = T1.shape[0]
+
+        # fine-side valence weights (shared fine nodes are written by several
+        # coarse cells with identical values)
+        counts = np.zeros(fine.n_dofs)
+        np.add.at(counts, np.asarray(self.fine_idx).reshape(-1), 1.0)
+        counts[counts == 0] = 1.0
+        self.fine_weight = jnp.asarray(1.0 / counts, dtype)
+        self.fine_constrained = jnp.asarray(fine.boundary_mask)
+        self.coarse_constrained = jnp.asarray(coarse.boundary_mask)
+
+        self._prolongate = jax.jit(self._prolongate_impl)
+        self._restrict = jax.jit(self._restrict_impl)
+
+    @staticmethod
+    def _fine_lattice_indices(coarse: DofHandler, fine: DofHandler) -> np.ndarray:
+        """(C_coarse, (2p+1)^dim) fine global DoFs of each coarse cell's lattice."""
+        p = coarse.degree
+        dim = coarse.mesh.dim
+        Nf = fine.nodes_per_dim
+        mi = coarse.mesh.cell_multi_index()  # (Cc, dim)
+        m = 2 * p + 1
+        per_dim = []
+        for d in range(dim):
+            k = mi[:, d, None] * 2 * p + np.arange(m)[None, :]
+            if fine.mesh.periodic[d]:
+                k = k % Nf[d]
+            per_dim.append(k.astype(np.int64))
+        strides = np.cumprod([1] + list(Nf[:-1]))
+        C = mi.shape[0]
+        out = np.zeros((C, m**dim), dtype=np.int64)
+        for d in range(dim):
+            reps_inner = m**d
+            reps_outer = m ** (dim - 1 - d)
+            sel = np.tile(np.repeat(np.arange(m), reps_inner), reps_outer)
+            out += per_dim[d][:, sel] * strides[d]
+        return out.astype(np.int32)
+
+    def _prolongate_impl(self, u_coarse):
+        uc = u_coarse[self.coarse_idx]
+        uf = _tensor_apply_all(self.T1, uc, self.dim, self.n_in_1d)
+        out = jnp.zeros(self.fine_constrained.shape[0], u_coarse.dtype).at[
+            self.fine_idx.reshape(-1)
+        ].add(uf.reshape(-1))
+        out = out * self.fine_weight
+        return jnp.where(self.fine_constrained, 0.0, out)
+
+    def _restrict_impl(self, r_fine):
+        rf = jnp.where(self.fine_constrained, 0.0, r_fine) * self.fine_weight
+        rc_local = _tensor_apply_all(self.T1.T, rf[self.fine_idx], self.dim, self.n_out_1d)
+        out = jnp.zeros(self.coarse_constrained.shape[0], r_fine.dtype).at[
+            self.coarse_idx.reshape(-1)
+        ].add(rc_local.reshape(-1))
+        return jnp.where(self.coarse_constrained, 0.0, out)
+
+    def prolongate(self, u_coarse):
+        return self._prolongate(u_coarse)
+
+    def restrict(self, r_fine):
+        return self._restrict(r_fine)
+
+
+def p_sequence(degree: int, kind: str) -> list[int]:
+    """Degree sequences of the reference driver
+    (/root/reference/element_centered_preconditioners_01.cc:553-672)."""
+    seq = [degree]
+    if kind == "go to one":
+        if degree > 1:
+            seq.append(1)
+    elif kind == "decrease by one":
+        while seq[-1] > 1:
+            seq.append(seq[-1] - 1)
+    elif kind == "bisect":
+        while seq[-1] > 1:
+            seq.append(max(seq[-1] // 2, 1))
+    else:
+        raise ValueError(kind)
+    return list(reversed(seq))

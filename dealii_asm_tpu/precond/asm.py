@@ -1,0 +1,327 @@
+"""Additive / restricted Schwarz preconditioner with FDM local solves.
+
+TPU-native rebuild of ``ASPoissonPreconditioner``
+(/root/reference/include/matrix_free.h:63-1568): element-centric (overlap
+1..p) or vertex-star patches, local inverses by fast diagonalization, and
+multiplicity weighting none/pre/post/symm
+(/root/reference/include/restrictors.h:8-15) or RAS ownership coloring
+(matrix_free.h:536-673).
+
+The apply is one fused jitted program per call:
+gather patches → ⊗_d Vᵀ transforms → eigenvalue-sum reciprocal scale →
+⊗_d V transforms → (weight) → scatter-add.  The reference's MPI ghost
+machinery (partitioners, pre/post ranges) disappears: the gather/scatter run
+against the global DoF vector and XLA/`jax.sharding` insert any needed
+collectives when the arrays are sharded (SURVEY.md §2d P3-P6 mapping).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofs import DofHandler
+from ..fem.patches import element_patch_indices, vertex_patch_indices
+from .fdm import (
+    FDMCollection,
+    build_fdm_collection,
+    fdm_1d_matrices,
+    vertex_patch_1d_matrices,
+)
+
+
+def _dedup_collection(keys: np.ndarray, build) -> FDMCollection:
+    """Build an FDMCollection from per-(patch, dim) keys and a builder.
+
+    keys: (P, dim, k) float; build(d, key_row) -> (M, K).
+    """
+    import scipy.linalg as sla
+
+    P, dim, _ = keys.shape
+    eigvecs, eigvals = [], []
+    ids = np.zeros((P, dim), dtype=np.int32)
+    for d in range(dim):
+        uniq, inv = np.unique(keys[:, d, :], axis=0, return_inverse=True)
+        ids[:, d] = inv.astype(np.int32)
+        V = None
+        lam = None
+        for u, key in enumerate(uniq):
+            M, K = build(d, tuple(key))
+            w, v = sla.eigh(K, M)
+            if V is None:
+                V = np.zeros((len(uniq),) + M.shape)
+                lam = np.zeros((len(uniq), M.shape[0]))
+            V[u] = v
+            lam[u] = w
+        eigvecs.append(V)
+        eigvals.append(lam)
+    return FDMCollection(eigvecs, eigvals, ids)
+
+
+def _batched_apply(mats: jnp.ndarray, u: jnp.ndarray, axis: int, transpose: bool):
+    """Apply per-patch 1D matrices along one local tensor axis.
+
+    mats: (C, m, m); u: (C, m, ..., m). transpose=True applies Vᵀ.
+    """
+    full_axis = 1 + axis
+    u = jnp.moveaxis(u, full_axis, -1)
+    if transpose:
+        u = jnp.einsum("c...i,cij->c...j", u, mats)
+    else:
+        u = jnp.einsum("c...i,cji->c...j", u, mats)
+    return jnp.moveaxis(u, -1, full_axis)
+
+
+class ASMPreconditioner:
+    """Element-centric / vertex-patch additive Schwarz with FDM local solves."""
+
+    def __init__(
+        self,
+        dofs: DofHandler,
+        n_overlap: int = 1,
+        weighting_type: str = "post",
+        patch_type: str = "element",  # "element" | "vertex"
+        dtype=jnp.float64,
+        n_q_1d: int | None = None,
+    ):
+        if weighting_type not in ("none", "pre", "post", "symm", "ras"):
+            raise ValueError(weighting_type)
+        self.dofs = dofs
+        self.dim = dofs.mesh.dim
+        self.degree = dofs.degree
+        self.n_overlap = n_overlap
+        self.weighting_type = weighting_type
+        self.patch_type = patch_type
+        self.dtype = dtype
+
+        p = self.degree
+        mesh = dofs.mesh
+        extents = mesh.harmonic_patch_extents(n_q_1d or (p + 1))  # (C, dim, 3)
+
+        # Deduplicate BEFORE building 1D matrices: on quasi-uniform meshes there
+        # are only a handful of unique (extents, boundary-flags) keys per
+        # direction, so setup cost is O(cells) hashing + O(unique) eigensolves
+        # (the reference's FDM collection dedups by matrix content the same way,
+        # matrix_free.h:389 / TensorProductMatrixSymmetricSumCollection).
+        if patch_type == "element":
+            self.m = p - 1 + 2 * n_overlap
+            idx = element_patch_indices(dofs, n_overlap)  # (C, m^dim)
+            nbr = mesh.neighbors()  # (C, dim, 2)
+            C = mesh.n_cells_total
+
+            def build(d, key):
+                h_l, h_c, h_r, has_l, has_r = key
+                bc_l = "internal" if has_l else "dirichlet"
+                bc_r = "internal" if has_r else "dirichlet"
+                return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r),
+                                       bc_l, bc_r, n_q_1d)
+
+            keys = np.concatenate(
+                [np.round(extents, 12),
+                 (nbr[:, :, 0:1] >= 0).astype(np.float64),
+                 (nbr[:, :, 1:2] >= 0).astype(np.float64)], axis=2)  # (C,dim,5)
+            self.collection = _dedup_collection(keys, build)
+        elif patch_type == "vertex":
+            self.m = 2 * p - 1
+            idx, anchors = vertex_patch_indices(dofs)
+
+            def build(d, key):
+                h0, h1 = key
+                return vertex_patch_1d_matrices(p, (h0, h1), n_q_1d)
+
+            # two cells per dim: anchor cell and its upper neighbor; the patch
+            # extents are [own, right-neighbor] of the anchor
+            keys = np.round(extents[anchors][:, :, 1:3], 12)  # (P, dim, 2)
+            self.collection = _dedup_collection(keys, build)
+        else:
+            raise ValueError(patch_type)
+
+        # globally constrained DoFs read/write nothing: redirect to the pad slot
+        n = dofs.n_dofs
+        mask = dofs.boundary_mask
+        idx = np.where(mask[np.clip(idx, 0, n - 1)] | (idx >= n), n, idx)
+        self.patch_idx = jnp.asarray(idx.astype(np.int32))
+        self.n_dofs = n
+        self.constrained = jnp.asarray(mask)
+        self.grid_shape = tuple(reversed(dofs.nodes_per_dim))
+        # element patches use lattice window access; vertex patches (one patch
+        # per interior vertex, not per cell) keep the gather path for now
+        self.access = "lattice" if patch_type == "element" else "gather"
+
+        # weights
+        valid = np.asarray(idx) < n
+        counts = np.zeros(n + 1)
+        np.add.at(counts, np.asarray(idx).reshape(-1), valid.reshape(-1).astype(np.float64))
+        counts[counts == 0] = 1.0
+        inv_count = 1.0 / counts
+        inv_count[-1] = 0.0
+        if weighting_type == "symm":
+            w = np.sqrt(inv_count)
+        else:
+            w = inv_count
+        self.weights = jnp.asarray(w[:-1], dtype)  # (n,)
+
+        self.ras_mask = None
+        if weighting_type == "ras":
+            self.ras_mask = jnp.asarray(self._ras_ownership(np.asarray(idx)), dtype)
+
+        # device tables
+        coll = self.collection
+        self.eigvecs = [jnp.asarray(v, dtype) for v in coll.eigvecs]
+        self.eigvals = [jnp.asarray(l, dtype) for l in coll.eigvals]
+        self.ids = jnp.asarray(coll.ids)
+
+        # per-coordinate factorization: on tensor-product geometries the 1D
+        # matrices for direction d depend only on the cell's d-coordinate, so
+        # the eigen-transforms become per-coordinate batched matmuls on the
+        # interleaved window layout (no per-cell table gather at all)
+        self.percoord = None
+        if patch_type == "element":
+            self.percoord = self._try_percoord(np.asarray(coll.ids))
+
+        self._vmult = jax.jit(self._vmult_impl)
+
+    def _try_percoord(self, ids: np.ndarray):
+        mesh = self.dofs.mesh
+        dim = self.dim
+        cells_zyx = tuple(reversed(mesh.n_cells))
+        out = []
+        for d in range(dim):
+            a = dim - 1 - d  # grid axis of direction d
+            ids3 = ids[:, d].reshape(cells_zyx)
+            ids1 = np.moveaxis(ids3, a, 0).reshape(mesh.n_cells[d], -1)
+            if not (ids1 == ids1[:, :1]).all():
+                return None
+            coord_ids = ids1[:, 0]  # (C_d,)
+            V = np.asarray(self.collection.eigvecs[d])[coord_ids]
+            lam = np.asarray(self.collection.eigvals[d])[coord_ids]
+            out.append((jnp.asarray(V, self.dtype), jnp.asarray(lam, self.dtype)))
+        return out
+
+    # -- RAS ownership coloring ------------------------------------------------
+    def _ras_ownership(self, idx: np.ndarray) -> np.ndarray:
+        """Exclusive ownership: each DoF belongs to the lowest-index patch.
+
+        The reference colors by iterated min-propagation over MPI
+        (matrix_free.h:536-673); with a global view the fixed point is simply
+        the minimum patch index containing each DoF.
+        """
+        n = self.n_dofs
+        P, L = idx.shape
+        owner = np.full(n + 1, np.iinfo(np.int64).max)
+        flat = idx.reshape(-1)
+        pids = np.repeat(np.arange(P), L)
+        np.minimum.at(owner, flat, pids)
+        mask = (idx < n) & (owner[idx] == np.arange(P)[:, None])
+        return mask.astype(np.float64)
+
+    # -- apply -------------------------------------------------------------------
+
+    def _fdm_apply(self, xp):
+        """(C, m^dim) -> (C, m^dim) batched tensor-product inverse."""
+        C = xp.shape[0]
+        m = self.m
+        u = xp.reshape((C,) + (m,) * self.dim)
+        # forward: Vᵀ along every axis (axis a holds direction dim-1-a)
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            V = self.eigvecs[d][self.ids[:, d]]
+            u = _batched_apply(V, u, a, transpose=True)
+        # eigenvalue-sum reciprocal
+        denom = None
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            lam = self.eigvals[d][self.ids[:, d]]  # (C, m)
+            shape = [C] + [1] * self.dim
+            shape[1 + a] = m
+            lam = lam.reshape(shape)
+            denom = lam if denom is None else denom + lam
+        u = u / denom
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            V = self.eigvecs[d][self.ids[:, d]]
+            u = _batched_apply(V, u, a, transpose=False)
+        return u.reshape(C, m**self.dim)
+
+    def _fdm_apply_percoord(self, w):
+        """FDM inverse on interleaved windows (Cz,mz,Cy,my,Cx,mx) with
+        per-coordinate eigen-transform tables (batched matmuls, no gathers)."""
+        from ..ops.lattice import apply_axis_percoord
+
+        dim = self.dim
+        for d in range(dim):
+            c_axis = 2 * (dim - 1 - d)
+            V, _ = self.percoord[d]
+            w = apply_axis_percoord(w, c_axis, c_axis + 1, V, transpose=True)
+        denom = None
+        for d in range(dim):
+            c_axis = 2 * (dim - 1 - d)
+            _, lam = self.percoord[d]
+            shape = [1] * (2 * dim)
+            shape[c_axis] = lam.shape[0]
+            shape[c_axis + 1] = lam.shape[1]
+            lam_b = lam.reshape(shape)
+            denom = lam_b if denom is None else denom + lam_b
+        w = w / denom
+        for d in range(dim):
+            c_axis = 2 * (dim - 1 - d)
+            V, _ = self.percoord[d]
+            w = apply_axis_percoord(w, c_axis, c_axis + 1, V, transpose=False)
+        return w
+
+    def _vmult_impl(self, src):
+        w = self.weights
+        x = src
+        if self.weighting_type in ("pre", "symm"):
+            x = x * w
+        if self.access == "lattice" and self.percoord is not None and self.ras_mask is None:
+            from ..ops.lattice import grid_to_windows, windows_to_grid
+
+            mesh = self.dofs.mesh
+            x0 = jnp.where(self.constrained, 0.0, x)
+            w6 = grid_to_windows(x0.reshape(self.grid_shape), mesh.n_cells,
+                                 self.degree, self.m, self.n_overlap, mesh.periodic)
+            y = self._fdm_apply_percoord(w6)
+            dst = windows_to_grid(y, self.grid_shape, self.degree,
+                                  self.n_overlap, mesh.periodic).reshape(-1)
+            dst = jnp.where(self.constrained, 0.0, dst)
+        elif self.access == "lattice":
+            from ..ops.lattice import cells_to_grid, grid_to_cells
+
+            mesh = self.dofs.mesh
+            x0 = jnp.where(self.constrained, 0.0, x)
+            xp = grid_to_cells(x0.reshape(self.grid_shape), mesh.n_cells,
+                               self.degree, self.m, self.n_overlap, mesh.periodic)
+            y = self._fdm_apply(xp)
+            if self.ras_mask is not None:
+                y = y * self.ras_mask
+            dst = cells_to_grid(y, self.grid_shape, mesh.n_cells, self.degree,
+                                self.m, self.n_overlap, mesh.periodic).reshape(-1)
+            dst = jnp.where(self.constrained, 0.0, dst)
+        else:
+            xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+            xp = xpad[self.patch_idx]  # (C, m^dim)
+            y = self._fdm_apply(xp)
+            if self.ras_mask is not None:
+                y = y * self.ras_mask
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx.reshape(-1)
+            ].add(y.reshape(-1))[:-1]
+        if self.weighting_type in ("post", "symm"):
+            dst = dst * w
+        return dst
+
+    def vmult(self, src):
+        return self._vmult(src)
+
+    def vmult_traceable(self, src):
+        """Un-jitted apply, for composition inside larger jitted programs."""
+        return self._vmult_impl(src)
+
+    def __call__(self, src):
+        return self.vmult(src)
+
+    def step(self, x, b, A, relaxation: float = 1.0):
+        """One Richardson step x ← x + ω P⁻¹(b − A x)."""
+        return x + relaxation * self.vmult(b - A(x))

@@ -1,0 +1,88 @@
+"""Geometric/polynomial multigrid V-cycle preconditioner.
+
+Rebuilds ``PreconditionerGMG`` (/root/reference/include/multigrid.h:109-537)
+and deal.II's Multigrid level-V-step: per level pre-smooth (vmult), residual,
+restrict, recurse, prolongate-and-add, post-smooth (step).  Supports the
+reference's options: one-sided V-cycle (identity post-smoother,
+multigrid.h:305-322), n>1 coarse cycles (multigrid.h:357-375), and an
+intermediate level that splits the hierarchy into a fine part and an inner
+multigrid used as its coarse solver (multigrid.h:260-375).
+
+Coarse solvers: any preconditioner's vmult (MGCoarseGridApplyPreconditioner,
+multigrid.h:19-107) or a dense direct inverse ("AMG-equivalent": the reference
+uses Trilinos AMG on the coarsest level; a direct solve reproduces its
+iteration counts at coarse sizes — documented deviation).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DirectCoarseSolver:
+    """Dense inverse of the (constrained) coarse matrix, applied as a matmul.
+
+    Stands in for TrilinosWrappers::PreconditionAMG
+    (/root/reference/include/precondition.templates.h:592-613): at the coarse
+    sizes the reference runs AMG on, a direct solve gives the same outer
+    iteration counts (AMG is essentially exact there, cf. dummy_amg.output: 1 it).
+    """
+
+    def __init__(self, dofs, dtype=jnp.float64):
+        from ..fem.assemble import assemble_laplace
+
+        A = assemble_laplace(dofs).toarray()
+        self.Ainv = jnp.asarray(np.linalg.inv(A), dtype)
+
+    def vmult(self, b):
+        return self.Ainv @ b
+
+    def __call__(self, b):
+        return self.vmult(b)
+
+
+class Multigrid:
+    """V-cycle over a list of levels (coarse → fine).
+
+    levels: list of dicts with keys 'operator' (callable vmult) and 'smoother'
+    (object with vmult(b) and step(x, b)).  transfers[i] connects level i
+    (coarse) to level i+1 (fine).  coarse_solver: callable vmult on level 0.
+    """
+
+    def __init__(self, operators, smoothers, transfers, coarse_solver,
+                 one_sided: bool = False, n_coarse_cycles: int = 1):
+        assert len(operators) == len(smoothers) + 1 or len(operators) == len(smoothers)
+        self.operators = operators
+        self.smoothers = smoothers  # smoothers[l] for level l >= 1 (index l-1)
+        self.transfers = transfers
+        self.coarse_solver = coarse_solver
+        self.one_sided = one_sided
+        self.n_coarse_cycles = n_coarse_cycles
+        self.n_levels = len(operators)
+
+    def _coarse_solve(self, rhs):
+        x = self.coarse_solver(rhs)
+        for _ in range(1, self.n_coarse_cycles):
+            x = x + self.coarse_solver(rhs - self.operators[0](x))
+        return x
+
+    def _v_step(self, level: int, rhs):
+        if level == 0:
+            return self._coarse_solve(rhs)
+        A = self.operators[level]
+        smoother = self.smoothers[level - 1]
+        x = smoother.vmult(rhs)
+        r = rhs - A(x)
+        rc = self.transfers[level - 1].restrict(r)
+        xc = self._v_step(level - 1, rc)
+        x = x + self.transfers[level - 1].prolongate(xc)
+        if not self.one_sided:
+            x = smoother.step(x, rhs)
+        return x
+
+    def vmult(self, src):
+        return self._v_step(self.n_levels - 1, src)
+
+    def __call__(self, src):
+        return self.vmult(src)

@@ -1,0 +1,405 @@
+"""Krylov solvers with deal.II-compatible iteration semantics.
+
+The reference drives deal.II's SolverCG / SolverFlexibleCG / SolverGMRES /
+SolverFGMRES / SolverBicgstab with a ReductionControl
+(/root/reference/element_centered_preconditioners_01.cc:108-263;
+/root/reference/outer_solver_01.likwid.cc:140-232).  Golden-output parity
+requires the same convergence-control and residual-monitoring conventions:
+
+- ReductionControl: converged when ||r|| < max(abs_tol, reduce · ||r_0||),
+  with the check at step 0 on the initial residual;
+- CG monitors the unpreconditioned 2-norm of the residual and exposes the
+  Lanczos tridiagonal eigenvalues from its alpha/beta coefficients (used by
+  Chebyshev eigenvalue estimation);
+- GMRES defaults to RIGHT preconditioning with classical Gram-Schmidt
+  (the driver's defaults at element_centered_preconditioners_01.cc:170-177),
+  monitoring the true-residual estimate from the Givens recurrence.
+
+Host-side loops orchestrate jitted device kernels; fully-jitted fixed-iteration
+variants for benchmarking live alongside.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class SolveResult:
+    x: object
+    n_iterations: int
+    converged: bool
+    residuals: list = field(default_factory=list)
+    tridiag_eigenvalues: np.ndarray | None = None
+
+
+class ReductionControl:
+    """deal.II ReductionControl: success when value < max(tolerance, reduce·initial)."""
+
+    def __init__(self, max_steps=1000, tolerance=1e-10, reduce=1e-2):
+        self.max_steps = max_steps
+        self.tolerance = tolerance
+        self.reduce = reduce
+        self.initial = None
+        self.history = []
+
+    def check(self, step: int, value: float) -> str:
+        value = float(value)
+        self.history.append(value)
+        if step == 0:
+            self.initial = value
+        if value <= self.tolerance or (self.initial is not None and value < self.reduce * self.initial):
+            return "success"
+        if step >= self.max_steps:
+            return "failure"
+        return "iterate"
+
+
+class IterationNumberControl:
+    """deal.II IterationNumberControl: run exactly max_steps unless below tolerance."""
+
+    def __init__(self, max_steps=100, tolerance=1e-10):
+        self.max_steps = max_steps
+        self.tolerance = tolerance
+        self.history = []
+
+    def check(self, step: int, value: float) -> str:
+        value = float(value)
+        self.history.append(value)
+        if value <= self.tolerance:
+            return "success"
+        if step >= self.max_steps:
+            return "success"  # IterationNumberControl treats reaching max as success
+        return "iterate"
+
+
+def _identity(x):
+    return x
+
+
+def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
+       track_eigenvalues: bool = False) -> SolveResult:
+    """Preconditioned CG, deal.II SolverCG semantics.
+
+    Monitors sqrt(r·r); optionally accumulates the CG-Lanczos tridiagonal and
+    returns its eigenvalues (deal.II connect_eigenvalues_slot equivalent, used
+    for Chebyshev eigenvalue estimation).
+    """
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b.copy() if hasattr(b, "copy") else b
+    res = float(jnp.linalg.norm(r))
+    state = control.check(0, res)
+    alphas, betas = [], []
+    it = 0
+    if state != "success":
+        z = M(r)
+        p = z
+        rz = float(jnp.vdot(r, z))
+        while state == "iterate":
+            it += 1
+            Ap = A(p)
+            pAp = float(jnp.vdot(p, Ap))
+            if pAp == 0.0:
+                break
+            alpha = rz / pAp
+            x = x + alpha * p
+            r = r - alpha * Ap
+            res = float(jnp.linalg.norm(r))
+            state = control.check(it, res)
+            if state != "iterate":
+                alphas.append(alpha)
+                break
+            z = M(r)
+            rz_new = float(jnp.vdot(r, z))
+            beta = rz_new / rz
+            rz = rz_new
+            p = z + beta * p
+            alphas.append(alpha)
+            betas.append(beta)
+
+    eigs = None
+    if track_eigenvalues and alphas:
+        eigs = _lanczos_eigenvalues(alphas, betas)
+    return SolveResult(x, it, state == "success", control.history, eigs)
+
+
+def _lanczos_eigenvalues(alphas, betas):
+    """Eigenvalues of the CG-Lanczos tridiagonal built from alpha/beta.
+
+    T[k,k] = 1/alpha_k + beta_{k-1}/alpha_{k-1}; T[k,k+1] = sqrt(beta_k)/alpha_k.
+    (deal.II SolverCG eigenvalue estimation.)
+    """
+    m = len(alphas)
+    diag = np.zeros(m)
+    off = np.zeros(max(m - 1, 0))
+    for k in range(m):
+        diag[k] = 1.0 / alphas[k]
+        if k > 0:
+            diag[k] += betas[k - 1] / alphas[k - 1]
+        if k < m - 1:
+            off[k] = np.sqrt(max(betas[k], 0.0)) / alphas[k]
+    if m == 1:
+        return diag
+    from scipy.linalg import eigh_tridiagonal
+
+    vals = eigh_tridiagonal(diag, off, eigvals_only=True)
+    return vals
+
+
+def flexible_cg(A, b, M=None, control=None, x0=None) -> SolveResult:
+    """Flexible CG (Polak-Ribière beta), deal.II SolverFlexibleCG analog."""
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    res = float(jnp.linalg.norm(r))
+    state = control.check(0, res)
+    it = 0
+    r_old = None
+    z_old = None
+    p = None
+    rz_old = None
+    while state == "iterate":
+        z = M(r)
+        if p is None:
+            p = z
+            rz = float(jnp.vdot(r, z))
+        else:
+            # flexible beta: (z, r - r_old)/(z_old, r_old)
+            beta = float(jnp.vdot(z, r - r_old)) / rz_old
+            rz = float(jnp.vdot(r, z))
+            p = z + beta * p
+        it += 1
+        Ap = A(p)
+        pAp = float(jnp.vdot(p, Ap))
+        if pAp == 0.0:
+            break
+        alpha = float(jnp.vdot(r, z)) / pAp
+        r_old, z_old, rz_old = r, z, float(jnp.vdot(r, z))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res = float(jnp.linalg.norm(r))
+        state = control.check(it, res)
+    return SolveResult(x, it, state == "success", control.history)
+
+
+def gmres(A, b, M=None, control=None, x0=None, restart=28,
+          right_preconditioning=True, orthogonalization="classical") -> SolveResult:
+    """GMRES with restart; right preconditioning by default (driver default).
+
+    restart=28 matches deal.II's default max_n_tmp_vectors=30 (basis 28).
+    """
+    M = M or _identity
+    control = control or ReductionControl()
+    n = b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    it = 0
+    state = None
+    first = True
+    while True:
+        r = b - A(x) if (x0 is not None or not first) else b
+        if not right_preconditioning:
+            r = M(r)
+        beta = float(jnp.linalg.norm(r))
+        if first:
+            state = control.check(0, beta)
+            first = False
+            if state != "iterate":
+                break
+        V = [r / beta]
+        H = np.zeros((restart + 1, restart))
+        cs = np.zeros(restart)
+        sn = np.zeros(restart)
+        g = np.zeros(restart + 1)
+        g[0] = beta
+        k = 0
+        broke = False
+        for k in range(restart):
+            if right_preconditioning:
+                w = A(M(V[k]))
+            else:
+                w = M(A(V[k]))
+            if orthogonalization == "classical":
+                hcol = np.array([float(jnp.vdot(V[j], w)) for j in range(k + 1)])
+                for j in range(k + 1):
+                    w = w - hcol[j] * V[j]
+                H[: k + 1, k] = hcol
+            else:  # modified Gram-Schmidt
+                for j in range(k + 1):
+                    hjk = float(jnp.vdot(V[j], w))
+                    H[j, k] = hjk
+                    w = w - hjk * V[j]
+            hk1 = float(jnp.linalg.norm(w))
+            H[k + 1, k] = hk1
+            # Givens rotations
+            for j in range(k):
+                t = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
+                H[j + 1, k] = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
+                H[j, k] = t
+            denom = np.hypot(H[k, k], H[k + 1, k])
+            cs[k] = H[k, k] / denom if denom else 1.0
+            sn[k] = H[k + 1, k] / denom if denom else 0.0
+            H[k, k] = denom
+            H[k + 1, k] = 0.0
+            g[k + 1] = -sn[k] * g[k]
+            g[k] = cs[k] * g[k]
+            it += 1
+            res = abs(g[k + 1])
+            state = control.check(it, res)
+            if state != "iterate" or hk1 == 0.0:
+                broke = True
+                k += 1
+                break
+            V.append(w / hk1)
+        else:
+            k = restart
+        # solve the small triangular system and update x
+        if k > 0:
+            y = np.linalg.solve(H[:k, :k], g[:k])
+            update = V[0] * y[0]
+            for j in range(1, k):
+                update = update + V[j] * y[j]
+            if right_preconditioning:
+                update = M(update)
+            x = x + update
+        x0 = x  # subsequent cycles recompute the residual
+        if state != "iterate":
+            break
+    return SolveResult(x, it, state == "success", control.history)
+
+
+def fgmres(A, b, M=None, control=None, x0=None, restart=28) -> SolveResult:
+    """Flexible GMRES (stores preconditioned vectors; deal.II SolverFGMRES)."""
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    it = 0
+    state = None
+    first = True
+    while True:
+        r = b - A(x) if (x0 is not None or not first) else b
+        beta = float(jnp.linalg.norm(r))
+        if first:
+            state = control.check(0, beta)
+            first = False
+            if state != "iterate":
+                break
+        V = [r / beta]
+        Z = []
+        H = np.zeros((restart + 1, restart))
+        cs = np.zeros(restart)
+        sn = np.zeros(restart)
+        g = np.zeros(restart + 1)
+        g[0] = beta
+        k = 0
+        for k in range(restart):
+            z = M(V[k])
+            Z.append(z)
+            w = A(z)
+            for j in range(k + 1):
+                hjk = float(jnp.vdot(V[j], w))
+                H[j, k] = hjk
+                w = w - hjk * V[j]
+            hk1 = float(jnp.linalg.norm(w))
+            H[k + 1, k] = hk1
+            for j in range(k):
+                t = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
+                H[j + 1, k] = -sn[j] * H[j, k] + cs[j] * H[j + 1, k]
+                H[j, k] = t
+            denom = np.hypot(H[k, k], H[k + 1, k])
+            cs[k] = H[k, k] / denom if denom else 1.0
+            sn[k] = H[k + 1, k] / denom if denom else 0.0
+            H[k, k] = denom
+            H[k + 1, k] = 0.0
+            g[k + 1] = -sn[k] * g[k]
+            g[k] = cs[k] * g[k]
+            it += 1
+            res = abs(g[k + 1])
+            state = control.check(it, res)
+            if state != "iterate" or hk1 == 0.0:
+                k += 1
+                break
+            V.append(w / hk1)
+        else:
+            k = restart
+        if k > 0:
+            y = np.linalg.solve(H[:k, :k], g[:k])
+            update = Z[0] * y[0]
+            for j in range(1, k):
+                update = update + Z[j] * y[j]
+            x = x + update
+        x0 = x
+        if state != "iterate":
+            break
+    return SolveResult(x, it, state == "success", control.history)
+
+
+def bicgstab(A, b, M=None, control=None, x0=None) -> SolveResult:
+    """Preconditioned BiCGStab (right preconditioning), deal.II-style monitoring."""
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    res = float(jnp.linalg.norm(r))
+    state = control.check(0, res)
+    r0 = r
+    rho_old = alpha = omega = 1.0
+    v = p = jnp.zeros_like(b)
+    it = 0
+    while state == "iterate":
+        rho = float(jnp.vdot(r0, r))
+        if rho == 0.0 or omega == 0.0:
+            break
+        beta = (rho / rho_old) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = A(phat)
+        denom = float(jnp.vdot(r0, v))
+        if denom == 0.0:
+            break
+        alpha = rho / denom
+        s = r - alpha * v
+        # early exit on half step
+        res = float(jnp.linalg.norm(s))
+        it += 1
+        state = control.check(it, res)
+        if state != "iterate":
+            x = x + alpha * phat
+            break
+        shat = M(s)
+        t = A(shat)
+        tt = float(jnp.vdot(t, t))
+        omega = float(jnp.vdot(t, s)) / tt if tt else 0.0
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_old = rho
+        res = float(jnp.linalg.norm(r))
+        state = control.check(it, res)
+    return SolveResult(x, it, state == "success", control.history)
+
+
+_SOLVERS = {
+    "CG": cg,
+    "FCG": flexible_cg,
+    "GMRES": gmres,
+    "FGMRES": fgmres,
+    "Bicgstab": bicgstab,
+}
+
+
+def solve(solver_type, A, b, M=None, max_iterations=1000, abs_tolerance=1e-10,
+          rel_tolerance=1e-2, control_type="ReductionControl", **kwargs) -> SolveResult:
+    """Dispatch mirroring the driver's solve()
+    (/root/reference/element_centered_preconditioners_01.cc:108-263)."""
+    if control_type == "ReductionControl":
+        control = ReductionControl(max_iterations, abs_tolerance, rel_tolerance)
+    else:
+        control = IterationNumberControl(max_iterations, abs_tolerance)
+    fn = _SOLVERS[solver_type]
+    return fn(A, b, M=M, control=control, **kwargs)

@@ -11,3 +11,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: compiles dominate wall time on this box
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,100 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dealii_asm_tpu.solvers.krylov import (
+    ReductionControl,
+    bicgstab,
+    cg,
+    flexible_cg,
+    fgmres,
+    gmres,
+)
+from dealii_asm_tpu.solvers.chebyshev import ChebyshevPreconditioner, EigenvalueInfo
+
+
+def _spd_system(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(0.5, 50.0, n)
+    A = (Q * lam) @ Q.T
+    b = rng.standard_normal(n)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+@pytest.mark.parametrize("solver", [cg, flexible_cg, gmres, fgmres, bicgstab])
+def test_krylov_solves_spd(solver):
+    A, b = _spd_system()
+    res = solver(lambda x: A @ x, b, control=ReductionControl(500, 1e-12, 1e-10))
+    assert res.converged
+    x = np.asarray(res.x)
+    assert np.linalg.norm(np.asarray(A) @ x - np.asarray(b)) < 1e-8
+
+
+def test_gmres_left_right_preconditioning():
+    A, b = _spd_system(40, 1)
+    d = jnp.asarray(1.0 / np.diag(np.asarray(A)))
+    M = lambda x: d * x
+    for right in (True, False):
+        res = gmres(lambda x: A @ x, b, M=M, right_preconditioning=right,
+                    control=ReductionControl(300, 1e-12, 1e-10))
+        assert res.converged
+        assert np.linalg.norm(np.asarray(A) @ np.asarray(res.x) - np.asarray(b)) < 1e-7
+
+
+def test_cg_lanczos_eigenvalues():
+    A, b = _spd_system(50, 2)
+    res = cg(lambda x: A @ x, b, control=ReductionControl(200, 1e-14, 1e-13),
+             track_eigenvalues=True)
+    evs = res.tridiag_eigenvalues
+    # extremal eigenvalues of the Lanczos tridiagonal approximate those of A
+    assert abs(evs[-1] - 50.0) < 0.5
+    assert abs(evs[0] - 0.5) < 0.1
+
+
+def test_chebyshev_first_kind_residual_polynomial():
+    # After a degree-k vmult on x0=0, the error e = x* - x satisfies
+    # e = r_k(P⁻¹A) x* with r_k(λ) = T_k((θ-λ)/δ)/T_k(θ/δ).  Check on a diagonal
+    # system where everything is computable analytically.
+    lam = np.array([0.1, 0.5, 1.0, 1.5, 2.0])
+    A = jnp.asarray(np.diag(lam))
+    info = EigenvalueInfo(2.0, 2.4, 0)
+    for degree in (1, 2, 3, 5):
+        cheb = ChebyshevPreconditioner(
+            lambda x: A @ x, lambda x: x, 5, degree=degree, eigenvalues=info)
+        xstar = jnp.asarray(np.ones(5))
+        b = A @ xstar
+        x = cheb.vmult(b)
+        theta, delta = cheb.theta, cheb.delta
+        tk = np.polynomial.chebyshev.Chebyshev([0] * degree + [1])
+        rk = tk((theta - lam) / delta) / tk(theta / delta)
+        np.testing.assert_allclose(np.asarray(xstar - x), rk * np.asarray(xstar),
+                                   atol=1e-12)
+
+
+def test_chebyshev_fourth_kind_residual_polynomial():
+    # The 4th-kind recurrence must realize the residual polynomial
+    # r_k(λ) = W_k(1 - 2λ/λmax) / (2k+1) with W_k the Chebyshev polynomial of
+    # the fourth kind, W_k(cos θ) = sin((k+1/2)θ)/sin(θ/2).
+    lam = np.linspace(0.05, 2.0, 30)
+    A = jnp.asarray(np.diag(lam))
+    info = EigenvalueInfo(2.0, 2.4, 0)
+    lam_max = info.max_eigenvalue_estimate
+    for degree in (1, 2, 5):
+        cheb = ChebyshevPreconditioner(lambda x: A @ x, lambda x: x, 30,
+                                       degree=degree,
+                                       polynomial_type="4th kind",
+                                       eigenvalues=info)
+        xstar = jnp.asarray(np.ones(30))
+        b = A @ xstar
+        x = cheb.vmult(b)
+        err = np.asarray(xstar - x)
+        theta = np.arccos(np.clip(1.0 - 2.0 * lam / lam_max, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            W = np.sin((degree + 0.5) * theta) / np.sin(theta / 2.0)
+        W = np.where(theta == 0.0, 2 * degree + 1, W)
+        rk = W / (2 * degree + 1)
+        np.testing.assert_allclose(err, rk, atol=1e-12)
+        # step() from the vmult result must keep improving
+        x2 = cheb.step(x, b)
+        assert np.linalg.norm(np.asarray(xstar - x2)) < np.linalg.norm(err)
