@@ -98,6 +98,18 @@ class LaplaceOperator:
             h = self.mesh.h
             self.M1d = [jnp.asarray(M_ref * h[d], dtype) for d in range(self.dim)]
             self.K1d = [jnp.asarray(K_ref / h[d], dtype) for d in range(self.dim)]
+            # dense local stiffness: every cell of a uniform Cartesian mesh
+            # shares ONE (L, L) matrix, so the whole cell loop is a single
+            # (C, L)·(L, L) GEMM on the MXU — the TPU-first formulation of the
+            # reference's "Cartesian geometry" fast path (operator.h:917)
+            A_loc = np.zeros(((self.degree + 1) ** self.dim,) * 2)
+            for d in range(self.dim):
+                term = np.array([[1.0]])
+                for e in reversed(range(self.dim)):  # kron: x fastest
+                    m1 = (K_ref / h[e]) if e == d else (M_ref * h[e])
+                    term = np.kron(term, m1)
+                A_loc += term
+            self.A_loc = jnp.asarray(A_loc, dtype)
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
@@ -211,14 +223,16 @@ class LaplaceOperator:
     def _vmult_impl(self, u):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         if self.access == "lattice" and self.coeff is None:
-            from .lattice import grid_to_windows, windows_to_grid
+            from .lattice import cells_to_grid_sliced, grid_to_cells_sliced
 
             mesh = self.mesh
-            w = grid_to_windows(u0.reshape(self.grid_shape), mesh.n_cells,
-                                self.degree, self.degree + 1, 1, mesh.periodic)
-            v = self._cartesian_separable(w)
-            dst = windows_to_grid(v, self.grid_shape, self.degree, 1,
-                                  mesh.periodic).reshape(-1)
+            W = grid_to_cells_sliced(u0.reshape(self.grid_shape), mesh.n_cells,
+                                     self.degree, self.degree + 1, 1,
+                                     mesh.periodic)  # (L, C)
+            v = self.A_loc @ W  # one MXU GEMM for the whole cell loop
+            dst = cells_to_grid_sliced(v, self.grid_shape, mesh.n_cells,
+                                       self.degree, self.degree + 1, 1,
+                                       mesh.periodic).reshape(-1)
         elif self.access == "lattice":
             from .lattice import cells_to_grid, grid_to_cells
 

@@ -29,7 +29,12 @@ def _pad_amounts(n_nodes: int, n_cells: int, degree: int, m: int, overlap: int,
 
 def split_windows_axis(u, axis: int, n_cells: int, degree: int, m: int,
                        overlap: int, periodic: bool):
-    """(..., N, ...) -> (..., C, m, ...) windows along ``axis``."""
+    """(..., N, ...) -> (..., C, m, ...) windows along ``axis``.
+
+    Built from p-strided *reshapes* (free) plus 2·overlap−1 thin strided
+    columns, not m strided slabs: the bulk of every window is the contiguous
+    block u[c·p : (c+1)·p], which u[..., :C·p].reshape(C, p) yields for free.
+    """
     u = jnp.moveaxis(u, axis, -1)
     N = u.shape[-1]
     lo, hi = _pad_amounts(N, n_cells, degree, m, overlap, periodic)
@@ -37,8 +42,16 @@ def split_windows_axis(u, axis: int, n_cells: int, degree: int, m: int,
         pad = [(0, 0)] * (u.ndim - 1) + [(lo, hi)]
         u = jnp.pad(u, pad, mode="wrap" if periodic else "constant")
     p = degree
-    cols = [u[..., j : j + p * (n_cells - 1) + 1 : p] for j in range(m)]
-    w = jnp.stack(cols, axis=-1)  # (..., C, m)
+    C = n_cells
+    lead = u.shape[:-1]
+    # window of cell c covers padded indices [c·p, c·p+m); slots 0..p-1 come
+    # from the free reshape, the remaining 2·overlap-1 from thin strided slices
+    core = u[..., : C * p].reshape(lead + (C, p))
+    post = [
+        u[..., s : s + (C - 1) * p + 1 : p][..., None]
+        for s in range(p, m)
+    ]
+    w = jnp.concatenate([core] + post, axis=-1)  # (..., C, m)
     return _restore(w, axis)
 
 
@@ -62,9 +75,12 @@ def overlap_add_axis(w, axis: int, n_nodes: int, degree: int, overlap: int,
     p = degree
     lo, hi = _pad_amounts(n_nodes, C, p, m, overlap, periodic)
     padded_len = n_nodes + lo + hi
+    # inverse of the reshape+thin-column split: the first p slots reshape back
+    # in one write; the remaining 2·overlap-1 slots are thin strided adds
     out = jnp.zeros(w.shape[:-2] + (padded_len,), w.dtype)
-    for j in range(m):
-        out = out.at[..., j : j + p * (C - 1) + 1 : p].add(w[..., :, j])
+    out = out.at[..., : C * p].add(w[..., :, :p].reshape(w.shape[:-2] + (C * p,)))
+    for s in range(p, m):
+        out = out.at[..., s : s + p * (C - 1) + 1 : p].add(w[..., :, s])
     if periodic:
         core = out[..., lo : lo + n_nodes]
         if lo:
@@ -118,6 +134,101 @@ def apply_axis_percoord(w, c_axis: int, m_axis: int, mats, transpose: bool):
     w = jnp.einsum(eq, w, mats)
     w = jnp.moveaxis(w, -2, c_axis if c_axis < m_axis else c_axis - 1)
     return jnp.moveaxis(w, -1, m_axis)
+
+
+def _padded_grid(u_grid, n_cells, degree, m, overlap, periodic):
+    dim = len(n_cells)
+    pads = []
+    for a in range(dim):
+        d = dim - 1 - a
+        lo, hi = _pad_amounts(u_grid.shape[a], n_cells[d], degree, m, overlap,
+                              periodic[d])
+        pads.append((lo, hi))
+    if any(p != (0, 0) for p in pads):
+        if any(periodic):
+            # mixed modes: pad axis-wise
+            for a in range(dim):
+                d = dim - 1 - a
+                if pads[a] == (0, 0):
+                    continue
+                pad = [(0, 0)] * dim
+                pad[a] = pads[a]
+                u_grid = jnp.pad(u_grid, pad,
+                                 mode="wrap" if periodic[d] else "constant")
+        else:
+            u_grid = jnp.pad(u_grid, pads)
+    return u_grid, pads
+
+
+def _local_slices(dim, p, m, cells_zyx):
+    """The m^dim strided grid slices, ordered by flat local index (x fastest)."""
+    out = []
+    for l in range(m**dim):
+        offs = []
+        ll = l
+        for _ in range(dim):
+            offs.append(ll % m)
+            ll //= m
+        # offs = (i, j, k); grid axes are (z, y, x)
+        out.append(tuple(
+            slice(offs[dim - 1 - a], offs[dim - 1 - a]
+                  + p * (cells_zyx[a] - 1) + 1, p)
+            for a in range(dim)
+        ))
+    return out
+
+
+def grid_to_cells_sliced(u_grid, n_cells: tuple, degree: int, m: int,
+                         overlap: int, periodic: tuple):
+    """Grid -> (L, C) via m^dim strided slices, L = m^dim.
+
+    Layout note: local-dof-major (L, C) keeps the big cell axis on the 128-wide
+    lane dimension (cells-minor (C, L) would tile each slab as (C, 1) padded
+    128x).  A local dense (L, L) operator then applies as ONE large
+    A(L,L) @ W(L,C) GEMM on the MXU."""
+    dim = len(n_cells)
+    p = degree
+    up, _ = _padded_grid(u_grid, n_cells, degree, m, overlap, periodic)
+    cells_zyx = tuple(reversed(n_cells))
+    cols = [up[sl] for sl in _local_slices(dim, p, m, cells_zyx)]
+    w = jnp.stack(cols, axis=0)  # (L, Cz, Cy, Cx)
+    return w.reshape(m**dim, -1)
+
+
+def cells_to_grid_sliced(v, grid_shape: tuple, n_cells: tuple, degree: int,
+                         m: int, overlap: int, periodic: tuple):
+    """Inverse of grid_to_cells_sliced: (L, C) -> grid, overlap-adding the
+    m^dim shifted slabs (each slab conflict-free)."""
+    dim = len(n_cells)
+    p = degree
+    cells_zyx = tuple(reversed(n_cells))
+    pads = []
+    padded_shape = []
+    for a in range(dim):
+        d = dim - 1 - a
+        lo, hi = _pad_amounts(grid_shape[a], n_cells[d], degree, m, overlap,
+                              periodic[d])
+        pads.append((lo, hi))
+        padded_shape.append(grid_shape[a] + lo + hi)
+    out = jnp.zeros(tuple(padded_shape), v.dtype)
+    w = v.reshape((m**dim,) + cells_zyx)
+    for l, sl in enumerate(_local_slices(dim, p, m, cells_zyx)):
+        out = out.at[sl].add(w[l])
+    # unpad with periodic wrap-back
+    for a in range(dim):
+        d = dim - 1 - a
+        lo, hi = pads[a]
+        if lo == 0 and hi == 0:
+            continue
+        out = jnp.moveaxis(out, a, -1)
+        core = out[..., lo : lo + grid_shape[a]]
+        if periodic[d]:
+            if lo:
+                core = core.at[..., grid_shape[a] - lo :].add(out[..., :lo])
+            if hi:
+                core = core.at[..., :hi].add(out[..., lo + grid_shape[a] :])
+        out = jnp.moveaxis(core, -1, a)
+    return out
 
 
 def grid_to_cells(u_grid, n_cells: tuple, degree: int, m: int, overlap: int,

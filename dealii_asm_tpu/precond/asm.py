@@ -180,7 +180,40 @@ class ASMPreconditioner:
         if patch_type == "element":
             self.percoord = self._try_percoord(np.asarray(coll.ids))
 
+        # dense local inverses: P⁻¹_patch = S·diag(1/Σλ)·Sᵀ materialized as an
+        # (L, L) matrix per unique boundary pattern (≤3^dim patterns on
+        # quasi-uniform meshes).  The dominant pattern applies as ONE
+        # (C, L)·(L, L) GEMM; minority patterns are static row-group fixups.
+        self.dense = None
+        if patch_type == "element" and self.ras_mask is None:
+            self.dense = self._try_dense(np.asarray(coll.ids))
+
         self._vmult = jax.jit(self._vmult_impl)
+
+    def _try_dense(self, ids: np.ndarray, max_combos: int = 64):
+        combos, combo_ids = np.unique(ids, axis=0, return_inverse=True)
+        if len(combos) > max_combos:
+            return None
+        coll = self.collection
+        mats = []
+        for combo in combos:
+            S = np.array([[1.0]])
+            lam = np.zeros((1,))
+            for d in reversed(range(self.dim)):  # kron: x fastest
+                Sd = np.asarray(coll.eigvecs[d][combo[d]])
+                ld = np.asarray(coll.eigvals[d][combo[d]])
+                S = np.kron(S, Sd)
+                lam = (lam[:, None] + ld[None, :]).reshape(-1)
+            mats.append((S / lam[None, :]) @ S.T)
+        counts = np.bincount(combo_ids, minlength=len(combos))
+        base = int(np.argmax(counts))
+        groups = []
+        for u in range(len(combos)):
+            if u == base:
+                continue
+            rows = np.where(combo_ids == u)[0].astype(np.int32)
+            groups.append((jnp.asarray(rows), jnp.asarray(mats[u], self.dtype)))
+        return jnp.asarray(mats[base], self.dtype), groups
 
     def _try_percoord(self, ids: np.ndarray):
         mesh = self.dofs.mesh
@@ -275,7 +308,23 @@ class ASMPreconditioner:
         x = src
         if self.weighting_type in ("pre", "symm"):
             x = x * w
-        if self.access == "lattice" and self.percoord is not None and self.ras_mask is None:
+        if self.access == "lattice" and self.dense is not None:
+            from ..ops.lattice import cells_to_grid_sliced, grid_to_cells_sliced
+
+            mesh = self.dofs.mesh
+            x0 = jnp.where(self.constrained, 0.0, x)
+            W = grid_to_cells_sliced(x0.reshape(self.grid_shape), mesh.n_cells,
+                                     self.degree, self.m, self.n_overlap,
+                                     mesh.periodic)  # (L, C)
+            P_base, groups = self.dense
+            y = P_base @ W
+            for cols, P_u in groups:
+                y = y.at[:, cols].set(P_u @ W[:, cols])
+            dst = cells_to_grid_sliced(y, self.grid_shape, mesh.n_cells,
+                                       self.degree, self.m, self.n_overlap,
+                                       mesh.periodic).reshape(-1)
+            dst = jnp.where(self.constrained, 0.0, dst)
+        elif self.access == "lattice" and self.percoord is not None and self.ras_mask is None:
             from ..ops.lattice import grid_to_windows, windows_to_grid
 
             mesh = self.dofs.mesh

@@ -57,7 +57,12 @@ def estimate_eigenvalues(A, n_dofs: int, M=None, constrained_mask=None,
     """
     b = eig_initial_guess(n_dofs, constrained_mask)
     if algorithm == "lanczos":
-        control = IterationNumberControl(n_iterations, 1e-30)
+        # stop the Lanczos CG when it has converged: past convergence the
+        # alpha/beta coefficients are numerical noise and poison the
+        # tridiagonal eigenvalues (deal.II's estimation run is likewise
+        # residual-terminated)
+        tol = 1e-8 * float(jnp.linalg.norm(b))
+        control = IterationNumberControl(n_iterations, tol)
         result = cg(A, b, M=M, control=control, track_eigenvalues=True)
         if result.tridiag_eigenvalues is None or len(result.tridiag_eigenvalues) == 0:
             lam = 1.0
