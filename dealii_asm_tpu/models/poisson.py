@@ -203,7 +203,7 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     rhs_fn, dbc_fn = make_rhs_and_dbc(rhs_name, family.dim)
     b = op.assemble_rhs(rhs_fn, dirichlet=dbc_fn)
 
-    table.add_value("name", family.name)
+    table.add_value("name", get_param(params, "name", family.name))
     table.add_value("n_cells", mesh.n_cells_total)
     table.add_value("L", family.n_levels)
     table.add_value("n_dofs", dofs.n_dofs)
@@ -237,15 +237,39 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         mtv = int(get_param(solver_p, "max n tmp vectors", 0))
         if mtv > 0:
             kwargs["restart"] = mtv - 2
-    result = krylov_solve(solver_type, op.vmult, b, M=precon.vmult,
-                          max_iterations=max_it, abs_tolerance=abs_tol,
-                          rel_tolerance=rel_tol, **kwargs)
+
+    def dispatch():
+        return krylov_solve(solver_type, op.vmult, b, M=precon.vmult,
+                            max_iterations=max_it, abs_tolerance=abs_tol,
+                            rel_tolerance=rel_tol, **kwargs)
+
+    result = dispatch()  # warm up (compiles)
+    best_of = int(get_param(solver_p, "best of", 1))
+    print_timing = get_param(params, "print timing", False)
+    solve_time = 999.0
+    if result.converged and (best_of > 1 or print_timing):
+        import time as _time
+
+        for _ in range(best_of):
+            t0 = _time.perf_counter()
+            r2 = dispatch()
+            import jax as _jax
+
+            _jax.block_until_ready(r2.x)
+            solve_time = min(solve_time, _time.perf_counter() - t0)
     if result.converged:
-        log(f"   - n iterations:   {result.n_iterations}\n")
+        log(f"   - n iterations:   {result.n_iterations}")
+        if print_timing:
+            log(f"   - time:           {solve_time} #")
+        log("")
         table.add_value("it", result.n_iterations)
     else:
         log("   - DID NOT CONVERGE!\n")
         table.add_value("it", 999)
+    if print_timing:
+        table.add_value("time", solve_time)
+        if hasattr(precon, "timer"):
+            precon.timer.print_timings()
     table.end_row()
     return {
         "n_cells": mesh.n_cells_total,

@@ -110,6 +110,14 @@ class LaplaceOperator:
                     term = np.kron(term, m1)
                 A_loc += term
             self.A_loc = jnp.asarray(A_loc, dtype)
+            # globally separable form: A = Σ_d M̂⊗…K̂_d…⊗M̂ with assembled 1D
+            # factors — applies as dense axis matmuls on the grid (tensorops)
+            from .tensorops import global_laplace_1d_factors
+
+            factors = global_laplace_1d_factors(self.mesh, self.degree,
+                                                self.n_q_1d)
+            self.M1d_global = [jnp.asarray(M, dtype) for M, _ in factors]
+            self.K1d_global = [jnp.asarray(K, dtype) for _, K in factors]
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
@@ -223,16 +231,11 @@ class LaplaceOperator:
     def _vmult_impl(self, u):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         if self.access == "lattice" and self.coeff is None:
-            from .lattice import cells_to_grid_sliced, grid_to_cells_sliced
+            from .tensorops import separable_laplace_apply
 
-            mesh = self.mesh
-            W = grid_to_cells_sliced(u0.reshape(self.grid_shape), mesh.n_cells,
-                                     self.degree, self.degree + 1, 1,
-                                     mesh.periodic)  # (L, C)
-            v = self.A_loc @ W  # one MXU GEMM for the whole cell loop
-            dst = cells_to_grid_sliced(v, self.grid_shape, mesh.n_cells,
-                                       self.degree, self.degree + 1, 1,
-                                       mesh.periodic).reshape(-1)
+            dst = separable_laplace_apply(
+                u0.reshape(self.grid_shape), self.M1d_global, self.K1d_global,
+                self.dim).reshape(-1)
         elif self.access == "lattice":
             from .lattice import cells_to_grid, grid_to_cells
 

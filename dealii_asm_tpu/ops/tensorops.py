@@ -1,0 +1,114 @@
+"""Global tensor-product operator algebra — axis matmuls on the grid.
+
+On tensor-product (Cartesian/anisotropic) geometries both hot operators factor
+per axis GLOBALLY, so their applies become dense matmuls along grid axes — the
+shape the MXU is built for — with no window materialization, no gathers and no
+scatters:
+
+- assembled Laplace:  A = Σ_d  M̂_{d'} ⊗ … K̂_d … ⊗ M̂_{d''}   with global
+  banded 1D mass/stiffness matrices M̂, K̂ (N_d × N_d);
+- FDM Schwarz apply:  P⁻¹ = (⊗_d G_dᵀ) · diag(1/Σ_d λ_d) · (⊗_d G_d) with
+  G_d (C_d·m × N_d) = per-window eigen-transform ∘ window selector; boundary
+  window patterns are just different rows of G_d (no fixups), any overlap.
+
+This supersedes the reference's compressed-index machinery for structured
+meshes (SURVEY.md §L3): index metadata disappears entirely into the operators.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.lagrange import reference_mass_stiffness_1d
+
+
+def axis_matmul(T, M, grid_axis: int):
+    """Contract M (out, in) against one axis of grid tensor T."""
+    dim = T.ndim
+    letters = "zyxw"[:dim]
+    it = letters[grid_axis]
+    out = letters.replace(it, "o")
+    return jnp.einsum(f"o{it},{letters}->{out}", M, T)
+
+
+def assemble_global_1d(degree: int, n_cells: int, h: float, periodic: bool,
+                       n_q_1d: int | None = None):
+    """Global assembled 1D mass/stiffness (N × N), natural boundary rows."""
+    M_ref, K_ref = reference_mass_stiffness_1d(degree, n_q_1d)
+    p = degree
+    N = p * n_cells if periodic else p * n_cells + 1
+    M = np.zeros((N, N))
+    K = np.zeros((N, N))
+    for c in range(n_cells):
+        idx = (c * p + np.arange(p + 1)) % N
+        M[np.ix_(idx, idx)] += M_ref * h
+        K[np.ix_(idx, idx)] += K_ref / h
+    return M, K
+
+
+def global_laplace_1d_factors(mesh, degree: int, n_q_1d: int | None = None):
+    """Per-direction (M̂_d, K̂_d) for the separable global Laplace."""
+    out = []
+    for d in range(mesh.dim):
+        M, K = assemble_global_1d(degree, mesh.n_cells[d], mesh.h[d],
+                                  mesh.periodic[d], n_q_1d)
+        out.append((M, K))
+    return out
+
+
+def separable_laplace_apply(u_grid, Ms, Ks, dim: int):
+    """v = Σ_d (⊗ M̂ … K̂_d … M̂) u via staged axis matmuls (8 in 3D, 4 in 2D).
+
+    Ms/Ks are device arrays ordered by direction d (x first); grid axis of
+    direction d is dim-1-d.
+    """
+    ax = lambda d: dim - 1 - d
+    if dim == 2:
+        a = axis_matmul(u_grid, Ms[0], ax(0))
+        v = axis_matmul(a, Ks[1], ax(1))
+        v = v + axis_matmul(axis_matmul(u_grid, Ks[0], ax(0)), Ms[1], ax(1))
+        return v
+    a = axis_matmul(u_grid, Ms[0], ax(0))        # Mx u
+    b = axis_matmul(a, Ms[1], ax(1))             # My Mx u
+    v = axis_matmul(b, Ks[2], ax(2))             # Kz My Mx u
+    v = v + axis_matmul(axis_matmul(a, Ks[1], ax(1)), Ms[2], ax(2))
+    v = v + axis_matmul(
+        axis_matmul(axis_matmul(u_grid, Ks[0], ax(0)), Ms[1], ax(1)),
+        Ms[2], ax(2))
+    return v
+
+
+def fdm_direction_transform(eigvecs_c: np.ndarray, n_nodes: int, degree: int,
+                            n_overlap: int, periodic: bool):
+    """G_d (C·m × N): window selection fused with the eigen-transform.
+
+    eigvecs_c: (C, m, m) per-window M-orthonormal eigenvectors along this
+    direction (columns = modes).  Window c covers nodes c·p − (o−1) … with m
+    slots; out-of-range slots (ghosts beyond a boundary) select nothing.
+    G[(c,k), n] = Σ_s V_c[s,k]·[n == wrap(c·p + s − (o−1))].
+    """
+    C, m, _ = eigvecs_c.shape
+    p = degree
+    G = np.zeros((C * m, n_nodes))
+    for c in range(C):
+        for s in range(m):
+            n = c * p + s - (n_overlap - 1)
+            if periodic:
+                n %= n_nodes
+            elif n < 0 or n >= n_nodes:
+                continue
+            G[c * m : (c + 1) * m, n] += eigvecs_c[c, s, :]
+    return G
+
+
+def fdm_global_apply(x_grid, Gs, Gts, inv_denom, dim: int):
+    """P⁻¹x = (⊗G_dᵀ)·diag(inv_denom)·(⊗G_d)x — six axis matmuls + one scale."""
+    ax = lambda d: dim - 1 - d
+    t = x_grid
+    for d in range(dim):
+        t = axis_matmul(t, Gs[d], ax(d))
+    t = t * inv_denom
+    for d in range(dim):
+        t = axis_matmul(t, Gts[d], ax(d))
+    return t

@@ -188,6 +188,29 @@ class ASMPreconditioner:
         if patch_type == "element" and self.ras_mask is None:
             self.dense = self._try_dense(np.asarray(coll.ids))
 
+        # globally separable FDM: P⁻¹ = (⊗G_dᵀ)·diag(1/Σλ)·(⊗G_d) with
+        # per-direction (C_d·m × N_d) transforms (ops/tensorops.py) — dense
+        # axis matmuls, boundary patterns encoded in G's rows
+        self.global_fdm = None
+        if self.percoord is not None and self.ras_mask is None:
+            from ..ops.tensorops import fdm_direction_transform
+
+            Gs, Gts, lams = [], [], []
+            for d in range(self.dim):
+                V, lam = self.percoord[d]
+                G = fdm_direction_transform(
+                    np.asarray(V), dofs.nodes_per_dim[d], p, n_overlap,
+                    mesh.periodic[d])
+                Gs.append(jnp.asarray(G, dtype))
+                Gts.append(jnp.asarray(G.T, dtype))
+                lams.append(np.asarray(lam).reshape(-1))
+            denom = np.zeros(tuple(len(l) for l in reversed(lams)))
+            for d in range(self.dim):
+                shape = [1] * self.dim
+                shape[self.dim - 1 - d] = len(lams[d])
+                denom = denom + lams[d].reshape(shape)
+            self.global_fdm = (Gs, Gts, jnp.asarray(1.0 / denom, dtype))
+
         self._vmult = jax.jit(self._vmult_impl)
 
     def _try_dense(self, ids: np.ndarray, max_combos: int = 64):
@@ -308,7 +331,15 @@ class ASMPreconditioner:
         x = src
         if self.weighting_type in ("pre", "symm"):
             x = x * w
-        if self.access == "lattice" and self.dense is not None:
+        if self.access == "lattice" and self.global_fdm is not None:
+            from ..ops.tensorops import fdm_global_apply
+
+            Gs, Gts, inv_denom = self.global_fdm
+            x0 = jnp.where(self.constrained, 0.0, x)
+            dst = fdm_global_apply(x0.reshape(self.grid_shape), Gs, Gts,
+                                   inv_denom, self.dim).reshape(-1)
+            dst = jnp.where(self.constrained, 0.0, dst)
+        elif self.access == "lattice" and self.dense is not None:
             from ..ops.lattice import cells_to_grid_sliced, grid_to_cells_sliced
 
             mesh = self.dofs.mesh

@@ -51,7 +51,8 @@ class Multigrid:
     """
 
     def __init__(self, operators, smoothers, transfers, coarse_solver,
-                 one_sided: bool = False, n_coarse_cycles: int = 1):
+                 one_sided: bool = False, n_coarse_cycles: int = 1,
+                 timer=None):
         assert len(operators) == len(smoothers) + 1 or len(operators) == len(smoothers)
         self.operators = operators
         self.smoothers = smoothers  # smoothers[l] for level l >= 1 (index l-1)
@@ -60,6 +61,11 @@ class Multigrid:
         self.one_sided = one_sided
         self.n_coarse_cycles = n_coarse_cycles
         self.n_levels = len(operators)
+        if timer is None:
+            from ..utils.profiling import StageTimer
+
+            timer = StageTimer(enabled=False)
+        self.timer = timer
 
     def _coarse_solve(self, rhs):
         x = self.coarse_solver(rhs)
@@ -68,17 +74,19 @@ class Multigrid:
         return x
 
     def _v_step(self, level: int, rhs):
+        t = self.timer
         if level == 0:
-            return self._coarse_solve(rhs)
+            return t.run(0, "coarse solve", self._coarse_solve, rhs)
         A = self.operators[level]
         smoother = self.smoothers[level - 1]
-        x = smoother.vmult(rhs)
-        r = rhs - A(x)
-        rc = self.transfers[level - 1].restrict(r)
+        x = t.run(level, "pre smooth", smoother.vmult, rhs)
+        r = t.run(level, "residual", lambda: rhs - A(x))
+        rc = t.run(level, "restrict", self.transfers[level - 1].restrict, r)
         xc = self._v_step(level - 1, rc)
-        x = x + self.transfers[level - 1].prolongate(xc)
+        x = t.run(level, "prolongate",
+                  lambda: x + self.transfers[level - 1].prolongate(xc))
         if not self.one_sided:
-            x = smoother.step(x, rhs)
+            x = t.run(level, "post smooth", smoother.step, x, rhs)
         return x
 
     def vmult(self, src):
