@@ -56,6 +56,50 @@ def element_patch_indices(dofs: DofHandler, n_overlap: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def vertex_all_patch_indices(dofs: DofHandler) -> tuple[np.ndarray, np.ndarray]:
+    """Vertex patches including ALL DoFs of the 2^dim cells: size (2p+1)^dim.
+
+    The 'vertex_all' restrictor type of the reference
+    (/root/reference/include/restrictors.h:78-243)."""
+    p = dofs.degree
+    dim = dofs.mesh.dim
+    mesh = dofs.mesh
+    N = dofs.nodes_per_dim
+    m = 2 * p + 1
+
+    ranges = []
+    for d in range(dim):
+        if mesh.periodic[d]:
+            ranges.append(np.arange(mesh.n_cells[d]))
+        else:
+            ranges.append(np.arange(1, mesh.n_cells[d]))
+    grids = np.meshgrid(*reversed(ranges), indexing="ij")
+    verts = np.stack([g.ravel() for g in reversed(grids)], axis=1)
+
+    offsets = np.arange(m) - p
+    per_dim = []
+    for d in range(dim):
+        k = verts[:, d, None] * p + offsets[None, :]
+        if mesh.periodic[d]:
+            k = k % N[d]
+        per_dim.append(k.astype(np.int64))
+
+    strides = np.cumprod([1] + list(N[:-1]))
+    out = np.zeros((verts.shape[0], m**dim), dtype=np.int64)
+    for d in range(dim):
+        reps_inner = m**d
+        reps_outer = m ** (dim - 1 - d)
+        sel = np.tile(np.repeat(np.arange(m), reps_inner), reps_outer)
+        out += per_dim[d][:, sel] * strides[d]
+
+    anchor_mi = verts - 1
+    for d in range(dim):
+        if mesh.periodic[d]:
+            anchor_mi[:, d] %= mesh.n_cells[d]
+    anchors = dofs.mesh.cell_flat_index(anchor_mi)
+    return out.astype(np.int32), anchors.astype(np.int32)
+
+
 def vertex_patch_indices(dofs: DofHandler) -> tuple[np.ndarray, np.ndarray]:
     """Vertex-star patches: one patch per interior mesh vertex.
 

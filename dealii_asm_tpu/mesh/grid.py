@@ -163,6 +163,20 @@ class StructuredMesh:
             out[:, d] = dist @ wf
         return out
 
+    def max_aspect_ratio(self, n_q_1d: int = 2) -> float:
+        """Max ratio of Jacobian singular values over quadrature points
+        (GridTools::compute_maximum_aspect_ratio analog, used for the driver's
+        aspect_ratio column)."""
+        if self.transform is None:
+            h = self.h
+            return float(h.max() / h.min())
+        from ..fem.lagrange import gauss_points
+
+        q, _ = gauss_points(n_q_1d)
+        J = self.jacobians(1, q)  # (C, Q, dim, dim)
+        s = np.linalg.svd(J, compute_uv=False)  # (C, Q, dim) descending
+        return float((s[..., 0] / s[..., -1]).max())
+
     def harmonic_patch_extents(self, n_q_1d: int = 2) -> np.ndarray:
         """(C, dim, 3) extents [left-neighbor, own, right-neighbor]; 0 if no neighbor.
 

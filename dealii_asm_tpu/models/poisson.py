@@ -212,7 +212,22 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     ptype = precon_p.get("type", "")
     if ptype == "Multigrid":
         log("- Create system preconditioner: Multigrid")
-        precon = _build_multigrid(precon_p, family, fe_degree, op, log, dtype)
+        # mixed precision: the reference runs double outer Krylov with float
+        # MG levels (element_centered_preconditioners_01.cc:787-792); here the
+        # level dtype is configurable ("mg number type"), default = outer
+        import jax.numpy as _jnp
+
+        level_dtype = {"": dtype, "float64": _jnp.float64,
+                       "float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
+            get_param(params, "mg number type", "")]
+        precon = _build_multigrid(precon_p, family, fe_degree, op, log,
+                                  level_dtype)
+        if level_dtype != dtype:
+            from ..precond.adapter import PrecisionAdapter
+
+            inner = precon
+            precon = PrecisionAdapter(inner, level_dtype)
+            precon.timer = inner.timer
     else:
         precon = create_system_preconditioner(op, precon_p, log)
 
@@ -270,6 +285,12 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         table.add_value("time", solve_time)
         if hasattr(precon, "timer"):
             precon.timer.print_timings()
+    table.add_value("aspect_ratio", mesh.max_aspect_ratio())
+    if get_param(params, "do output", False):
+        from ..utils.vtu import write_vtu
+
+        write_vtu(get_param(params, "output file", "multigrid.vtu"), dofs,
+                  {"solution": np.asarray(result.x)})
     table.end_row()
     return {
         "n_cells": mesh.n_cells_total,

@@ -36,6 +36,11 @@ def assemble_global_1d(degree: int, n_cells: int, h: float, periodic: bool,
                        n_q_1d: int | None = None):
     """Global assembled 1D mass/stiffness (N × N), natural boundary rows."""
     M_ref, K_ref = reference_mass_stiffness_1d(degree, n_q_1d)
+    from .. import native
+
+    nat = native.assemble_global_1d(M_ref, K_ref, degree, n_cells, h, periodic)
+    if nat is not None:
+        return nat
     p = degree
     N = p * n_cells if periodic else p * n_cells + 1
     M = np.zeros((N, N))
@@ -88,6 +93,13 @@ def fdm_direction_transform(eigvecs_c: np.ndarray, n_nodes: int, degree: int,
     slots; out-of-range slots (ghosts beyond a boundary) select nothing.
     G[(c,k), n] = Σ_s V_c[s,k]·[n == wrap(c·p + s − (o−1))].
     """
+    from .. import native
+
+    nat = native.fdm_direction_transform(
+        np.ascontiguousarray(eigvecs_c, dtype=np.float64), n_nodes, degree,
+        n_overlap, periodic)
+    if nat is not None:
+        return nat
     C, m, _ = eigvecs_c.shape
     p = degree
     G = np.zeros((C * m, n_nodes))

@@ -104,6 +104,8 @@ class TwoLevelTransfer:
         return out.astype(np.int32)
 
     def _prolongate_impl(self, u_coarse):
+        # zero constrained coarse rows so restrict == prolongateᵀ exactly
+        u_coarse = jnp.where(self.coarse_constrained, 0.0, u_coarse)
         uc = u_coarse[self.coarse_idx]
         uf = _tensor_apply_all(self.T1, uc, self.dim, self.n_in_1d)
         out = jnp.zeros(self.fine_constrained.shape[0], u_coarse.dtype).at[

@@ -38,6 +38,14 @@ def _dedup_collection(keys: np.ndarray, build) -> FDMCollection:
     """
     import scipy.linalg as sla
 
+    from .. import native
+
+    def _eigh(K, M):
+        out = native.generalized_eigh(K, M)
+        if out is not None:
+            return out
+        return sla.eigh(K, M)
+
     P, dim, _ = keys.shape
     eigvecs, eigvals = [], []
     ids = np.zeros((P, dim), dtype=np.int32)
@@ -48,7 +56,7 @@ def _dedup_collection(keys: np.ndarray, build) -> FDMCollection:
         lam = None
         for u, key in enumerate(uniq):
             M, K = build(d, tuple(key))
-            w, v = sla.eigh(K, M)
+            w, v = _eigh(K, M)
             if V is None:
                 V = np.zeros((len(uniq),) + M.shape)
                 lam = np.zeros((len(uniq), M.shape[0]))

@@ -42,8 +42,12 @@ class Restrictor:
         n = dofs.n_dofs
         if restriction_type == "element":
             idx = element_patch_indices(dofs, n_overlap)
-        elif restriction_type in ("vertex", "vertex_all"):
+        elif restriction_type == "vertex":
             idx, _ = vertex_patch_indices(dofs)
+        elif restriction_type == "vertex_all":
+            from ..fem.patches import vertex_all_patch_indices
+
+            idx, _ = vertex_all_patch_indices(dofs)
         else:
             raise ValueError(restriction_type)
         # constrained dofs do not participate

@@ -384,12 +384,102 @@ def bicgstab(A, b, M=None, control=None, x0=None) -> SolveResult:
     return SolveResult(x, it, state == "success", control.history)
 
 
+def richardson(A, b, M=None, control=None, x0=None, omega=1.0) -> SolveResult:
+    """Preconditioned Richardson iteration (deal.II SolverRelaxation analog,
+    used for n>1 coarse cycles at /root/reference/include/multigrid.h:357-375)."""
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    res = float(jnp.linalg.norm(r))
+    state = control.check(0, res)
+    it = 0
+    while state == "iterate":
+        x = x + omega * M(r)
+        r = b - A(x)
+        it += 1
+        res = float(jnp.linalg.norm(r))
+        state = control.check(it, res)
+    return SolveResult(x, it, state == "success", control.history)
+
+
+def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
+    """IDR(s) (van Gijzen/Sonneveld; deal.II SolverIDR as exercised by
+    /root/reference/outer_solver_01.likwid.cc:140-232)."""
+    M = M or _identity
+    control = control or ReductionControl()
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    res = float(jnp.linalg.norm(r))
+    state = control.check(0, res)
+    it = 0
+    n = b.shape[0]
+    rng = np.random.default_rng(seed)
+    P = np.linalg.qr(rng.standard_normal((n, s)))[0]  # shadow space
+    P = [jnp.asarray(P[:, j], b.dtype) for j in range(s)]
+    G = [jnp.zeros_like(b) for _ in range(s)]
+    U = [jnp.zeros_like(b) for _ in range(s)]
+    Mmat = np.eye(s)
+    om = 1.0
+    while state == "iterate":
+        f = np.array([float(jnp.vdot(P[j], r)) for j in range(s)])
+        for k in range(s):
+            if state != "iterate":
+                break
+            c = np.linalg.solve(Mmat[k:, k:], f[k:])
+            v = r
+            for j in range(k, s):
+                v = v - c[j - k] * G[j]
+            v = M(v)
+            u = om * v
+            for j in range(k, s):
+                u = u + c[j - k] * U[j]
+            g = A(u)
+            # bi-orthogonalize against P[0..k-1]
+            for j in range(k):
+                alpha = float(jnp.vdot(P[j], g)) / Mmat[j, j]
+                g = g - alpha * G[j]
+                u = u - alpha * U[j]
+            G[k], U[k] = g, u
+            for j in range(k, s):
+                Mmat[j, k] = float(jnp.vdot(P[j], g))
+            if Mmat[k, k] == 0.0:
+                state = "failure"
+                break
+            beta = f[k] / Mmat[k, k]
+            x = x + beta * u
+            r = r - beta * g
+            it += 1
+            res = float(jnp.linalg.norm(r))
+            state = control.check(it, res)
+            if state != "iterate":
+                break
+            for j in range(k + 1, s):
+                f[j] -= beta * Mmat[j, k]
+            f[k] = 0.0
+        if state != "iterate":
+            break
+        # dimension-reduction step
+        v = M(r)
+        t = A(v)
+        tt = float(jnp.vdot(t, t))
+        om = float(jnp.vdot(t, r)) / tt if tt else 0.0
+        x = x + om * v
+        r = r - om * t
+        it += 1
+        res = float(jnp.linalg.norm(r))
+        state = control.check(it, res)
+    return SolveResult(x, it, state == "success", control.history)
+
+
 _SOLVERS = {
     "CG": cg,
     "FCG": flexible_cg,
     "GMRES": gmres,
     "FGMRES": fgmres,
     "Bicgstab": bicgstab,
+    "IDR": idr,
+    "Richardson": richardson,
 }
 
 
