@@ -120,6 +120,44 @@ class LaplaceOperator:
             self.K1d_global = [jnp.asarray(K, dtype) for _, K in factors]
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
+            # deformed-geometry tensor path: global per-axis value/derivative
+            # evaluation matrices + symmetric coefficient on the q-grid
+            from .tensorops import interp_direction_transform
+
+            s0 = shape_1d(self.degree, self.n_q_1d)
+            self.Ev, self.Ed, self.Evt, self.Edt = [], [], [], []
+            for d in range(self.dim):
+                Ev = interp_direction_transform(
+                    s0.N, dofs.nodes_per_dim[d], self.degree,
+                    self.mesh.n_cells[d], self.mesh.periodic[d])
+                Ed = interp_direction_transform(
+                    s0.D / self.mesh.h[d], dofs.nodes_per_dim[d], self.degree,
+                    self.mesh.n_cells[d], self.mesh.periodic[d])
+                self.Ev.append(jnp.asarray(Ev, dtype))
+                self.Ed.append(jnp.asarray(Ed, dtype))
+                self.Evt.append(jnp.asarray(Ev.T, dtype))
+                self.Edt.append(jnp.asarray(Ed.T, dtype))
+            # coefficient on the q-grid, symmetric-packed; the merged coeff is
+            # in REFERENCE gradients, while Ed above differentiates in box
+            # coords (∂ξ = h·∂box) — scale accordingly: C_box = h_d C_ref h_e
+            qn = self.n_q_1d
+            cells_zyx = tuple(reversed(self.mesh.n_cells))
+            cc = geo.coeff.reshape(cells_zyx + (qn,) * self.dim
+                                   + (self.dim, self.dim))
+            # (cz,cy,cx,qz,qy,qx,d,e) -> (cz,qz,cy,qy,cx,qx,d,e)
+            perm = []
+            for i in range(self.dim):
+                perm += [i, self.dim + i]
+            cc = cc.transpose(tuple(perm) + (2 * self.dim, 2 * self.dim + 1))
+            qshape = tuple(c * qn for c in cells_zyx)
+            cc = cc.reshape(qshape + (self.dim, self.dim))
+            h = self.mesh.h
+            pairs = ([(0, 0), (1, 1), (0, 1)] if self.dim == 2
+                     else [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])
+            self.coeff6 = [
+                jnp.asarray(cc[..., a, b_] * (h[a] * h[b_]), dtype)
+                for a, b_ in pairs
+            ]
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
 
         # reference-gradient tensor for the fused-B path and diagonal computation
@@ -237,14 +275,11 @@ class LaplaceOperator:
                 u0.reshape(self.grid_shape), self.M1d_global, self.K1d_global,
                 self.dim).reshape(-1)
         elif self.access == "lattice":
-            from .lattice import cells_to_grid, grid_to_cells
+            from .tensorops import merged_laplace_apply
 
-            mesh = self.mesh
-            uc = grid_to_cells(u0.reshape(self.grid_shape), mesh.n_cells,
-                               self.degree, self.degree + 1, 1, mesh.periodic)
-            v = self.apply_cells(uc)
-            dst = cells_to_grid(v, self.grid_shape, mesh.n_cells, self.degree,
-                                self.degree + 1, 1, mesh.periodic).reshape(-1)
+            dst = merged_laplace_apply(
+                u0.reshape(self.grid_shape), self.Ev, self.Ed, self.Evt,
+                self.Edt, self.coeff6, self.dim).reshape(-1)
         else:
             uc = u0[self.cell_dofs]  # (C, L)
             v = self.apply_cells(uc)

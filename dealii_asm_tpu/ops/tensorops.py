@@ -114,6 +114,62 @@ def fdm_direction_transform(eigvecs_c: np.ndarray, n_nodes: int, degree: int,
     return G
 
 
+def interp_direction_transform(B: np.ndarray, n_nodes: int, degree: int,
+                               n_cells: int, periodic: bool) -> np.ndarray:
+    """Global per-axis evaluation matrix E (C·q × N) from a 1D shape matrix
+    B (q × p+1): row (c, iq) evaluates at quadrature point iq of cell c.
+
+    Together with the symmetric coefficient in quadrature space this gives the
+    deformed-geometry operator as axis matmuls (the reference's merged
+    per-q-point representation, operator.h:1162-1219, reshaped TPU-first)."""
+    q, n1 = B.shape
+    p = degree
+    E = np.zeros((n_cells * q, n_nodes))
+    for c in range(n_cells):
+        cols = (c * p + np.arange(n1)) % n_nodes
+        E[c * q : (c + 1) * q, cols] = B
+    return E
+
+
+def merged_laplace_apply(u_grid, Ev, Ed, Evt, Edt, coeff6, dim: int):
+    """Deformed-geometry Laplace apply via q-space axis matmuls.
+
+    Ev/Ed: per-direction global value/derivative matrices (device arrays,
+    direction order x first); Evt/Edt their transposes; coeff6: symmetric
+    w|J|J⁻¹J⁻ᵀ per q-grid point, packed [xx, yy, zz, xy, xz, yz] (3D) or
+    [xx, yy, xy] (2D)."""
+    ax = lambda d: dim - 1 - d
+    if dim == 2:
+        a = axis_matmul(u_grid, Ev[0], ax(0))
+        d1 = axis_matmul(u_grid, Ed[0], ax(0))
+        gy = axis_matmul(a, Ed[1], ax(1))
+        gx = axis_matmul(d1, Ev[1], ax(1))
+        cxx, cyy, cxy = coeff6
+        tx = cxx * gx + cxy * gy
+        ty = cxy * gx + cyy * gy
+        v = axis_matmul(axis_matmul(ty, Edt[1], ax(1)), Evt[0], ax(0))
+        v = v + axis_matmul(axis_matmul(tx, Evt[1], ax(1)), Edt[0], ax(0))
+        return v
+    a = axis_matmul(u_grid, Ev[0], ax(0))     # x values
+    d1 = axis_matmul(u_grid, Ed[0], ax(0))    # x derivatives
+    b = axis_matmul(a, Ev[1], ax(1))
+    c = axis_matmul(a, Ed[1], ax(1))
+    e = axis_matmul(d1, Ev[1], ax(1))
+    gz = axis_matmul(b, Ed[2], ax(2))
+    gy = axis_matmul(c, Ev[2], ax(2))
+    gx = axis_matmul(e, Ev[2], ax(2))
+    cxx, cyy, czz, cxy, cxz, cyz = coeff6
+    tx = cxx * gx + cxy * gy + cxz * gz
+    ty = cxy * gx + cyy * gy + cyz * gz
+    tz = cxz * gx + cyz * gy + czz * gz
+    w1 = axis_matmul(tz, Edt[2], ax(2))
+    w2 = axis_matmul(ty, Evt[2], ax(2))
+    w3 = axis_matmul(tx, Evt[2], ax(2))
+    r12 = axis_matmul(w1, Evt[1], ax(1)) + axis_matmul(w2, Edt[1], ax(1))
+    r3 = axis_matmul(w3, Evt[1], ax(1))
+    return axis_matmul(r12, Evt[0], ax(0)) + axis_matmul(r3, Edt[0], ax(0))
+
+
 def fdm_global_apply(x_grid, Gs, Gts, inv_denom, dim: int):
     """P⁻¹x = (⊗G_dᵀ)·diag(inv_denom)·(⊗G_d)x — six axis matmuls + one scale."""
     ax = lambda d: dim - 1 - d

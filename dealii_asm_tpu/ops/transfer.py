@@ -67,6 +67,17 @@ class TwoLevelTransfer:
         self.T1 = jnp.asarray(T1, dtype)
         self.n_out_1d = T1.shape[0]
 
+        # globally separable form: prolongation = ⊗_d P̂_d with banded global
+        # 1D interpolation matrices (N_f × N_c per direction) — applies as
+        # dense axis matmuls on the grid (same algebra as ops/tensorops.py)
+        self.P1d = []
+        for d in range(self.dim):
+            P = self._global_interp_1d(np.asarray(T1), coarse, fine, d,
+                                       same_mesh)
+            self.P1d.append(jnp.asarray(P, dtype))
+        self.coarse_grid_shape = tuple(reversed(coarse.nodes_per_dim))
+        self.fine_grid_shape = tuple(reversed(fine.nodes_per_dim))
+
         # fine-side valence weights (shared fine nodes are written by several
         # coarse cells with identical values)
         counts = np.zeros(fine.n_dofs)
@@ -78,6 +89,26 @@ class TwoLevelTransfer:
 
         self._prolongate = jax.jit(self._prolongate_impl)
         self._restrict = jax.jit(self._restrict_impl)
+
+    @staticmethod
+    def _global_interp_1d(T1: np.ndarray, coarse: DofHandler, fine: DofHandler,
+                          d: int, same_mesh: bool) -> np.ndarray:
+        """Global 1D interpolation matrix along direction d (N_f × N_c).
+
+        Entries are SET per coarse cell block (shared nodes receive identical
+        values — pointwise interpolation of a continuous function)."""
+        Nf = fine.nodes_per_dim[d]
+        Nc = coarse.nodes_per_dim[d]
+        pc = coarse.degree
+        pf_nodes = T1.shape[0]  # fine nodes per coarse cell (+ shared)
+        P = np.zeros((Nf, Nc))
+        n_cells_c = coarse.mesh.n_cells[d]
+        step_f = (pf_nodes - 1)
+        for c in range(n_cells_c):
+            rows = (c * step_f + np.arange(pf_nodes)) % Nf
+            cols = (c * pc + np.arange(pc + 1)) % Nc
+            P[np.ix_(rows, cols)] = T1
+        return P
 
     @staticmethod
     def _fine_lattice_indices(coarse: DofHandler, fine: DofHandler) -> np.ndarray:
@@ -104,22 +135,24 @@ class TwoLevelTransfer:
         return out.astype(np.int32)
 
     def _prolongate_impl(self, u_coarse):
+        from .tensorops import axis_matmul
+
         # zero constrained coarse rows so restrict == prolongateᵀ exactly
-        u_coarse = jnp.where(self.coarse_constrained, 0.0, u_coarse)
-        uc = u_coarse[self.coarse_idx]
-        uf = _tensor_apply_all(self.T1, uc, self.dim, self.n_in_1d)
-        out = jnp.zeros(self.fine_constrained.shape[0], u_coarse.dtype).at[
-            self.fine_idx.reshape(-1)
-        ].add(uf.reshape(-1))
-        out = out * self.fine_weight
+        u = jnp.where(self.coarse_constrained, 0.0, u_coarse)
+        t = u.reshape(self.coarse_grid_shape)
+        for d in range(self.dim):
+            t = axis_matmul(t, self.P1d[d], self.dim - 1 - d)
+        out = t.reshape(-1)
         return jnp.where(self.fine_constrained, 0.0, out)
 
     def _restrict_impl(self, r_fine):
-        rf = jnp.where(self.fine_constrained, 0.0, r_fine) * self.fine_weight
-        rc_local = _tensor_apply_all(self.T1.T, rf[self.fine_idx], self.dim, self.n_out_1d)
-        out = jnp.zeros(self.coarse_constrained.shape[0], r_fine.dtype).at[
-            self.coarse_idx.reshape(-1)
-        ].add(rc_local.reshape(-1))
+        from .tensorops import axis_matmul
+
+        r = jnp.where(self.fine_constrained, 0.0, r_fine)
+        t = r.reshape(self.fine_grid_shape)
+        for d in range(self.dim):
+            t = axis_matmul(t, self.P1d[d].T, self.dim - 1 - d)
+        out = t.reshape(-1)
         return jnp.where(self.coarse_constrained, 0.0, out)
 
     def prolongate(self, u_coarse):
