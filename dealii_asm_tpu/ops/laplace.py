@@ -76,9 +76,20 @@ class LaplaceOperator:
         self.D1 = jnp.asarray(s.D, dtype)   # (q, n)
         self._shape = s
 
-        self.cell_dofs = jnp.asarray(dofs.cell_dofs)           # (C, L) int32
+        self._cell_dofs = None  # lazy: only the gather fallback needs it
         self.n_dofs = dofs.n_dofs
-        self.constrained = jnp.asarray(dofs.boundary_mask)     # (n,) bool
+        self._constrained = None  # lazy O(n) mask (gather fallback only)
+        # separable constraint mask: node constrained iff any lattice
+        # coordinate sits on a non-periodic boundary — kept as dim small 1D
+        # vectors and outer-product'ed IN-TRACE, so jitted programs carry no
+        # grid-sized constants (they overflowed the remote-compile request)
+        self._free_1d = []
+        for a in range(self.dim):  # grid axes (z, y, x)
+            d = self.dim - 1 - a
+            f = np.ones(dofs.nodes_per_dim[d], dtype=bool)
+            if not self.mesh.periodic[d]:
+                f[0] = f[-1] = False
+            self._free_1d.append(jnp.asarray(f))
         # lattice access: strided window slices instead of index-table
         # gather/scatter (ops/lattice.py) — the TPU-native reduced access
         self.access = "lattice"
@@ -160,12 +171,57 @@ class LaplaceOperator:
             ]
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
 
-        # reference-gradient tensor for the fused-B path and diagonal computation
-        B = _tensor_gradient(s.N, s.D, self.dim)  # (Q, L, dim)
-        self._B_np = B
-        self.B = jnp.asarray(B, dtype)
+        # reference-gradient tensor for the fused-B path and diagonal
+        # computation — lazy (device upload only when actually used)
+        self._B_dev = None
 
         self._vmult = jax.jit(self._vmult_impl)
+        # fused-vector-op forms (the reference fuses pre/post vector updates
+        # into the cell loop, operator.h:1368-1430; under XLA the fusion is
+        # automatic inside one jitted expression)
+        self._residual = jax.jit(lambda b, x: b - self._vmult_impl(x))
+
+    def residual(self, b, x):
+        """r = b - A x as one fused program."""
+        return self._residual(b, x)
+
+    @property
+    def constrained(self):
+        if self._constrained is None:
+            self._constrained = jnp.asarray(self.dofs.boundary_mask)
+        return self._constrained
+
+    def _free_mask(self):
+        """(n,) free-node mask built in-trace from dim small 1D vectors."""
+        f = self._free_1d[0]
+        for v in self._free_1d[1:]:
+            f = f[..., None] & v
+        return f.reshape(-1)
+
+    @property
+    def cell_dofs(self):
+        if self._cell_dofs is None:
+            self._cell_dofs = jnp.asarray(self.dofs.cell_dofs)
+        return self._cell_dofs
+
+    @cell_dofs.setter
+    def cell_dofs(self, v):
+        self._cell_dofs = v
+
+    @property
+    def B(self):
+        if self._B_dev is None:
+            self._B_dev = jnp.asarray(self._B_np, self.dtype)
+        return self._B_dev
+
+    @property
+    def _B_np(self):
+        B = getattr(self, "_B_np_cache", None)
+        if B is None:
+            s = self._shape
+            B = _tensor_gradient(s.N, s.D, self.dim)
+            self._B_np_cache = B
+        return B
 
     # -- local integral -------------------------------------------------------
 
@@ -267,7 +323,12 @@ class LaplaceOperator:
         return v
 
     def _vmult_impl(self, u):
-        u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
+        if self.access == "lattice":
+            free = self._free_mask()
+            u0 = jnp.where(free, u, 0.0).astype(self.dtype)
+        else:
+            free = None
+            u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         if self.access == "lattice" and self.coeff is None:
             from .tensorops import separable_laplace_apply
 
@@ -285,6 +346,8 @@ class LaplaceOperator:
             v = self.apply_cells(uc)
             dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(
                 v.reshape(-1))
+        if free is not None:
+            return jnp.where(free, dst, u)
         return jnp.where(self.constrained, u, dst)
 
     def vmult(self, u):
@@ -304,6 +367,21 @@ class LaplaceOperator:
 
         Mirrors compute_inverse_diagonal (/root/reference/include/operator.h:1512).
         """
+        if self.coeff is None and self.access == "lattice":
+            # diag(Σ_d ⊗ M̂…K̂_d…M̂) = Σ_d ⊗ diag(·): outer products of the
+            # global 1D diagonals — no cell loop at all
+            dM = [jnp.diagonal(M) for M in self.M1d_global]
+            dK = [jnp.diagonal(K) for K in self.K1d_global]
+            diag = None
+            for d in range(self.dim):
+                vecs = [dK[e] if e == d else dM[e]
+                        for e in reversed(range(self.dim))]  # z slowest first
+                term = vecs[0]
+                for v in vecs[1:]:
+                    term = (term[:, None] * v[None, :]).reshape(-1)
+                diag = term if diag is None else diag + term
+            diag = jnp.where(self._free_mask(), diag, 1.0)
+            return 1.0 / diag
         if self.coeff is not None:
             local = jnp.einsum("cqde,qld,qle->cl", self.coeff, self.B, self.B)
         else:

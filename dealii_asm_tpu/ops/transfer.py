@@ -48,9 +48,6 @@ class TwoLevelTransfer:
             nodes_c = gauss_lobatto_points(pc + 1)
             nodes_f = gauss_lobatto_points(pf + 1)
             T1 = lagrange_values(nodes_c, nodes_f)  # (pf+1, pc+1)
-            self.coarse_idx = jnp.asarray(coarse.cell_dofs)  # (C, (pc+1)^dim)
-            self.fine_idx = jnp.asarray(fine.cell_dofs)      # (C, (pf+1)^dim)
-            self.n_in_1d = pc + 1
         else:
             # h-transfer: fine mesh has 2x cells per dim
             assert pf == pc
@@ -60,12 +57,6 @@ class TwoLevelTransfer:
             # fine nodes within the coarse cell: children [0,.5] and [.5,1]
             xf = np.concatenate([nodes * 0.5, 0.5 + nodes[1:] * 0.5])  # (2p+1,)
             T1 = lagrange_values(nodes, xf)  # (2p+1, p+1)
-            self.coarse_idx = jnp.asarray(coarse.cell_dofs)
-            self.fine_idx = jnp.asarray(self._fine_lattice_indices(coarse, fine))
-            self.n_in_1d = p + 1
-
-        self.T1 = jnp.asarray(T1, dtype)
-        self.n_out_1d = T1.shape[0]
 
         # globally separable form: prolongation = ⊗_d P̂_d with banded global
         # 1D interpolation matrices (N_f × N_c per direction) — applies as
@@ -77,15 +68,18 @@ class TwoLevelTransfer:
             self.P1d.append(jnp.asarray(P, dtype))
         self.coarse_grid_shape = tuple(reversed(coarse.nodes_per_dim))
         self.fine_grid_shape = tuple(reversed(fine.nodes_per_dim))
-
-        # fine-side valence weights (shared fine nodes are written by several
-        # coarse cells with identical values)
-        counts = np.zeros(fine.n_dofs)
-        np.add.at(counts, np.asarray(self.fine_idx).reshape(-1), 1.0)
-        counts[counts == 0] = 1.0
-        self.fine_weight = jnp.asarray(1.0 / counts, dtype)
-        self.fine_constrained = jnp.asarray(fine.boundary_mask)
-        self.coarse_constrained = jnp.asarray(coarse.boundary_mask)
+        # separable free masks (small 1D vectors, outer-product'ed in-trace:
+        # no grid-sized jit constants)
+        self._free_1d = {}
+        for tag, dh in (("coarse", coarse), ("fine", fine)):
+            vecs = []
+            for a in range(self.dim):  # grid axes (z, y, x)
+                d = self.dim - 1 - a
+                f = np.ones(dh.nodes_per_dim[d], dtype=bool)
+                if not dh.mesh.periodic[d]:
+                    f[0] = f[-1] = False
+                vecs.append(jnp.asarray(f))
+            self._free_1d[tag] = vecs
 
         self._prolongate = jax.jit(self._prolongate_impl)
         self._restrict = jax.jit(self._restrict_impl)
@@ -134,26 +128,32 @@ class TwoLevelTransfer:
             out += per_dim[d][:, sel] * strides[d]
         return out.astype(np.int32)
 
+    def _free_mask(self, tag: str):
+        f = self._free_1d[tag][0]
+        for v in self._free_1d[tag][1:]:
+            f = f[..., None] & v
+        return f.reshape(-1)
+
     def _prolongate_impl(self, u_coarse):
         from .tensorops import axis_matmul
 
         # zero constrained coarse rows so restrict == prolongateᵀ exactly
-        u = jnp.where(self.coarse_constrained, 0.0, u_coarse)
+        u = jnp.where(self._free_mask("coarse"), u_coarse, 0.0)
         t = u.reshape(self.coarse_grid_shape)
         for d in range(self.dim):
             t = axis_matmul(t, self.P1d[d], self.dim - 1 - d)
         out = t.reshape(-1)
-        return jnp.where(self.fine_constrained, 0.0, out)
+        return jnp.where(self._free_mask("fine"), out, 0.0)
 
     def _restrict_impl(self, r_fine):
         from .tensorops import axis_matmul
 
-        r = jnp.where(self.fine_constrained, 0.0, r_fine)
+        r = jnp.where(self._free_mask("fine"), r_fine, 0.0)
         t = r.reshape(self.fine_grid_shape)
         for d in range(self.dim):
             t = axis_matmul(t, self.P1d[d].T, self.dim - 1 - d)
         out = t.reshape(-1)
-        return jnp.where(self.coarse_constrained, 0.0, out)
+        return jnp.where(self._free_mask("coarse"), out, 0.0)
 
     def prolongate(self, u_coarse):
         return self._prolongate(u_coarse)

@@ -149,7 +149,8 @@ class ASMPreconditioner:
         n = dofs.n_dofs
         mask = dofs.boundary_mask
         idx = np.where(mask[np.clip(idx, 0, n - 1)] | (idx >= n), n, idx)
-        self.patch_idx = jnp.asarray(idx.astype(np.int32))
+        self._patch_idx_np = idx.astype(np.int32)
+        self._patch_idx_dev = None  # lazy: only the gather fallback needs it
         self.n_dofs = n
         self.constrained = jnp.asarray(mask)
         self.grid_shape = tuple(reversed(dofs.nodes_per_dim))
@@ -203,21 +204,26 @@ class ASMPreconditioner:
         if self.percoord is not None and self.ras_mask is None:
             from ..ops.tensorops import fdm_direction_transform
 
+            # constraints and multiplicity weights are SEPARABLE per axis on
+            # the structured lattice (a node is constrained iff any coordinate
+            # touches a Dirichlet boundary; patch counts are per-axis
+            # products), so they fold into the columns of the per-direction
+            # transforms and the jitted apply carries NO O(n) constants
+            # (large closure constants overflowed the remote-compile request).
+            a_in, a_out = {"none": (0.0, 0.0), "pre": (1.0, 0.0),
+                           "post": (0.0, 1.0), "symm": (0.5, 0.5)}[weighting_type]
             Gs, Gts, lams = [], [], []
             for d in range(self.dim):
                 V, lam = self.percoord[d]
                 G = fdm_direction_transform(
                     np.asarray(V), dofs.nodes_per_dim[d], p, n_overlap,
                     mesh.periodic[d])
-                Gs.append(jnp.asarray(G, dtype))
-                Gts.append(jnp.asarray(G.T, dtype))
-                lams.append(np.asarray(lam).reshape(-1))
-            denom = np.zeros(tuple(len(l) for l in reversed(lams)))
-            for d in range(self.dim):
-                shape = [1] * self.dim
-                shape[self.dim - 1 - d] = len(lams[d])
-                denom = denom + lams[d].reshape(shape)
-            self.global_fdm = (Gs, Gts, jnp.asarray(1.0 / denom, dtype))
+                free_d, w_d = self._axis_free_and_weight(d)
+                Gs.append(jnp.asarray(G * (free_d * w_d**a_in)[None, :], dtype))
+                Gts.append(jnp.asarray(
+                    (G * (free_d * w_d**a_out)[None, :]).T, dtype))
+                lams.append(jnp.asarray(np.asarray(lam).reshape(-1), dtype))
+            self.global_fdm = (Gs, Gts, lams)
 
         self._vmult = jax.jit(self._vmult_impl)
 
@@ -245,6 +251,37 @@ class ASMPreconditioner:
             rows = np.where(combo_ids == u)[0].astype(np.int32)
             groups.append((jnp.asarray(rows), jnp.asarray(mats[u], self.dtype)))
         return jnp.asarray(mats[base], self.dtype), groups
+
+    def _axis_free_and_weight(self, d: int):
+        """Per-axis free mask and 1D multiplicity weight (weights = ⊗_d w_d)."""
+        dofs = self.dofs
+        N = dofs.nodes_per_dim[d]
+        p = self.degree
+        free = np.ones(N)
+        if not dofs.mesh.periodic[d]:
+            free[0] = free[-1] = 0.0
+        # per-axis window count of each node
+        counts = np.zeros(N)
+        for c in range(dofs.mesh.n_cells[d]):
+            for s in range(self.m):
+                n = c * p + s - (self.n_overlap - 1)
+                if dofs.mesh.periodic[d]:
+                    n %= N
+                elif n < 0 or n >= N:
+                    continue
+                counts[n] += 1.0
+        counts[counts == 0] = 1.0
+        return free, 1.0 / counts
+
+    @property
+    def patch_idx(self):
+        if self._patch_idx_dev is None:
+            self._patch_idx_dev = jnp.asarray(self._patch_idx_np)
+        return self._patch_idx_dev
+
+    @patch_idx.setter
+    def patch_idx(self, v):
+        self._patch_idx_dev = v
 
     def _try_percoord(self, ids: np.ndarray):
         mesh = self.dofs.mesh
@@ -334,20 +371,31 @@ class ASMPreconditioner:
             w = apply_axis_percoord(w, c_axis, c_axis + 1, V, transpose=False)
         return w
 
+    def _vmult_global_fdm(self, src):
+        from ..ops.tensorops import fdm_global_apply
+
+        Gs, Gts, lams = self.global_fdm
+        # build the reciprocal eigenvalue-sum in-trace from the small per-axis
+        # vectors so the jitted program carries no grid-sized constants
+        denom = None
+        for d in range(self.dim):
+            shape = [1] * self.dim
+            shape[self.dim - 1 - d] = lams[d].shape[0]
+            lam_b = lams[d].reshape(shape)
+            denom = lam_b if denom is None else denom + lam_b
+        return fdm_global_apply(src.reshape(self.grid_shape), Gs, Gts,
+                                1.0 / denom, self.dim).reshape(-1)
+
     def _vmult_impl(self, src):
+        # the global-FDM fast path goes first and touches no O(n) instance
+        # arrays (weights/constraints folded into its transforms at setup)
+        if self.access == "lattice" and self.global_fdm is not None:
+            return self._vmult_global_fdm(src)
         w = self.weights
         x = src
         if self.weighting_type in ("pre", "symm"):
             x = x * w
-        if self.access == "lattice" and self.global_fdm is not None:
-            from ..ops.tensorops import fdm_global_apply
-
-            Gs, Gts, inv_denom = self.global_fdm
-            x0 = jnp.where(self.constrained, 0.0, x)
-            dst = fdm_global_apply(x0.reshape(self.grid_shape), Gs, Gts,
-                                   inv_denom, self.dim).reshape(-1)
-            dst = jnp.where(self.constrained, 0.0, dst)
-        elif self.access == "lattice" and self.dense is not None:
+        if self.access == "lattice" and self.dense is not None:
             from ..ops.lattice import cells_to_grid_sliced, grid_to_cells_sliced
 
             mesh = self.dofs.mesh

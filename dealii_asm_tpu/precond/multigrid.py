@@ -66,6 +66,14 @@ class Multigrid:
 
             timer = StageTimer(enabled=False)
         self.timer = timer
+        # the V-cycle is pure static control flow: jit it whole so one
+        # application is ONE dispatch (a 9-level cycle otherwise pays ~60
+        # host round-trips; measured ~100ms/cycle overhead on the TPU tunnel).
+        # Stage timing requires host boundaries, so jit only when not timing.
+        self._jitted = None
+
+    def _vmult_whole(self, src):
+        return self._v_step(self.n_levels - 1, src)
 
     def _coarse_solve(self, rhs):
         x = self.coarse_solver(rhs)
@@ -90,7 +98,13 @@ class Multigrid:
         return x
 
     def vmult(self, src):
-        return self._v_step(self.n_levels - 1, src)
+        if self.timer.enabled:
+            return self._v_step(self.n_levels - 1, src)
+        if self._jitted is None:
+            import jax
+
+            self._jitted = jax.jit(self._vmult_whole)
+        return self._jitted(src)
 
     def __call__(self, src):
         return self.vmult(src)

@@ -57,11 +57,12 @@ def estimate_eigenvalues(A, n_dofs: int, M=None, constrained_mask=None,
     """
     b = eig_initial_guess(n_dofs, constrained_mask)
     if algorithm == "lanczos":
-        # stop the Lanczos CG when it has converged: past convergence the
-        # alpha/beta coefficients are numerical noise and poison the
-        # tridiagonal eigenvalues (deal.II's estimation run is likewise
-        # residual-terminated)
-        tol = 1e-8 * float(jnp.linalg.norm(b))
+        # stop the Lanczos CG when it has converged *in working precision*:
+        # past convergence/stagnation the alpha/beta coefficients are noise
+        # and poison the tridiagonal eigenvalues (in f32 this inflated a
+        # level estimate to 14.9 vs a true 1.6)
+        eps = float(jnp.finfo(b.dtype).eps)
+        tol = max(1e-8, float(np.sqrt(eps))) * float(jnp.linalg.norm(b))
         control = IterationNumberControl(n_iterations, tol)
         result = cg(A, b, M=M, control=control, track_eigenvalues=True)
         if result.tridiag_eigenvalues is None or len(result.tridiag_eigenvalues) == 0:
@@ -69,6 +70,19 @@ def estimate_eigenvalues(A, n_dofs: int, M=None, constrained_mask=None,
         else:
             lam = float(result.tridiag_eigenvalues[-1])
         its = result.n_iterations
+        if float(jnp.finfo(b.dtype).eps) > 1e-10:
+            # low precision: the Lanczos run may stop before λmax converges
+            # (stagnation at the f32 noise floor under-estimates it, which
+            # un-damps the Chebyshev top); take the max with a short Rayleigh
+            # power iteration, which is cancellation-free
+            Mfn = M or (lambda x: x)
+            v = b / jnp.linalg.norm(b)
+            lam_p = 0.0
+            for _ in range(12):
+                w = Mfn(A(v))
+                lam_p = float(jnp.vdot(v, w))
+                v = w / jnp.linalg.norm(w)
+            lam = max(lam, lam_p)
     elif algorithm == "power iteration":
         M = M or (lambda x: x)
         v = b

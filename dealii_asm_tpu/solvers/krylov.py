@@ -80,6 +80,30 @@ def _identity(x):
     return x
 
 
+def _dot(a, b) -> float:
+    """Inner product with float64 accumulation when available.
+
+    float32 reductions over millions of entries carry O(N·eps) error on
+    accelerators, which destroys Krylov orthogonality/recurrences at scale
+    (observed: GMRES true residual stuck at 0.18 relative after 28 f32
+    iterations on 2.1M DoFs).  Upcasting the reduction restores the
+    reference's double-precision outer-solve accuracy (P8) at bandwidth cost.
+    """
+    import jax
+
+    if jax.config.jax_enable_x64 and a.dtype != jnp.float64:
+        return float(jnp.vdot(a.astype(jnp.float64), b.astype(jnp.float64)))
+    return float(jnp.vdot(a, b))
+
+
+def _norm(a) -> float:
+    import jax
+
+    if jax.config.jax_enable_x64 and a.dtype != jnp.float64:
+        return float(jnp.linalg.norm(a.astype(jnp.float64)))
+    return float(jnp.linalg.norm(a))
+
+
 def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
        track_eigenvalues: bool = False) -> SolveResult:
     """Preconditioned CG, deal.II SolverCG semantics.
@@ -92,30 +116,46 @@ def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
     control = control or ReductionControl()
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b.copy() if hasattr(b, "copy") else b
-    res = float(jnp.linalg.norm(r))
+    res = _norm(r)
     state = control.check(0, res)
     alphas, betas = [], []
     it = 0
+    stall = 0
+    best_res = res
     if state != "success":
         z = M(r)
         p = z
-        rz = float(jnp.vdot(r, z))
+        rz = _dot(r, z)
         while state == "iterate":
             it += 1
             Ap = A(p)
-            pAp = float(jnp.vdot(p, Ap))
+            pAp = _dot(p, Ap)
+            if pAp <= 0.0 and track_eigenvalues:
+                break  # breakdown: further coefficients are noise
             if pAp == 0.0:
                 break
             alpha = rz / pAp
             x = x + alpha * p
             r = r - alpha * Ap
-            res = float(jnp.linalg.norm(r))
+            res = _norm(r)
+            if track_eigenvalues:
+                # stagnation guard: once the residual has stopped decreasing
+                # for a while in working precision, Lanczos coefficients are
+                # noise (loose threshold: early plateaus are normal)
+                if res < best_res * 0.999:
+                    best_res = min(best_res, res)
+                    stall = 0
+                else:
+                    stall += 1
+                    if stall >= 8:
+                        alphas.append(alpha)
+                        break
             state = control.check(it, res)
             if state != "iterate":
                 alphas.append(alpha)
                 break
             z = M(r)
-            rz_new = float(jnp.vdot(r, z))
+            rz_new = _dot(r, z)
             beta = rz_new / rz
             rz = rz_new
             p = z + beta * p
@@ -157,7 +197,7 @@ def flexible_cg(A, b, M=None, control=None, x0=None) -> SolveResult:
     control = control or ReductionControl()
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
-    res = float(jnp.linalg.norm(r))
+    res = _norm(r)
     state = control.check(0, res)
     it = 0
     r_old = None
@@ -168,22 +208,22 @@ def flexible_cg(A, b, M=None, control=None, x0=None) -> SolveResult:
         z = M(r)
         if p is None:
             p = z
-            rz = float(jnp.vdot(r, z))
+            rz = _dot(r, z)
         else:
             # flexible beta: (z, r - r_old)/(z_old, r_old)
-            beta = float(jnp.vdot(z, r - r_old)) / rz_old
-            rz = float(jnp.vdot(r, z))
+            beta = _dot(z, r - r_old) / rz_old
+            rz = _dot(r, z)
             p = z + beta * p
         it += 1
         Ap = A(p)
-        pAp = float(jnp.vdot(p, Ap))
+        pAp = _dot(p, Ap)
         if pAp == 0.0:
             break
-        alpha = float(jnp.vdot(r, z)) / pAp
-        r_old, z_old, rz_old = r, z, float(jnp.vdot(r, z))
+        alpha = _dot(r, z) / pAp
+        r_old, z_old, rz_old = r, z, _dot(r, z)
         x = x + alpha * p
         r = r - alpha * Ap
-        res = float(jnp.linalg.norm(r))
+        res = _norm(r)
         state = control.check(it, res)
     return SolveResult(x, it, state == "success", control.history)
 
@@ -206,7 +246,7 @@ def gmres(A, b, M=None, control=None, x0=None, restart=28,
         r = b - A(x) if (x0 is not None or not first) else b
         if not right_preconditioning:
             r = M(r)
-        beta = float(jnp.linalg.norm(r))
+        beta = _norm(r)
         if first:
             state = control.check(0, beta)
             first = False
@@ -226,16 +266,22 @@ def gmres(A, b, M=None, control=None, x0=None, restart=28,
             else:
                 w = M(A(V[k]))
             if orthogonalization == "classical":
-                hcol = np.array([float(jnp.vdot(V[j], w)) for j in range(k + 1)])
+                # CGS2: one re-orthogonalization pass — classical Gram-Schmidt
+                # alone loses orthogonality catastrophically in float32 at
+                # large n (observed: GMRES stagnation at 2M DoFs)
+                hcol = np.array([_dot(V[j], w) for j in range(k + 1)])
                 for j in range(k + 1):
                     w = w - hcol[j] * V[j]
-                H[: k + 1, k] = hcol
+                h2 = np.array([_dot(V[j], w) for j in range(k + 1)])
+                for j in range(k + 1):
+                    w = w - h2[j] * V[j]
+                H[: k + 1, k] = hcol + h2
             else:  # modified Gram-Schmidt
                 for j in range(k + 1):
-                    hjk = float(jnp.vdot(V[j], w))
+                    hjk = _dot(V[j], w)
                     H[j, k] = hjk
                     w = w - hjk * V[j]
-            hk1 = float(jnp.linalg.norm(w))
+            hk1 = _norm(w)
             H[k + 1, k] = hk1
             # Givens rotations
             for j in range(k):
@@ -284,7 +330,7 @@ def fgmres(A, b, M=None, control=None, x0=None, restart=28) -> SolveResult:
     first = True
     while True:
         r = b - A(x) if (x0 is not None or not first) else b
-        beta = float(jnp.linalg.norm(r))
+        beta = _norm(r)
         if first:
             state = control.check(0, beta)
             first = False
@@ -303,10 +349,10 @@ def fgmres(A, b, M=None, control=None, x0=None, restart=28) -> SolveResult:
             Z.append(z)
             w = A(z)
             for j in range(k + 1):
-                hjk = float(jnp.vdot(V[j], w))
+                hjk = _dot(V[j], w)
                 H[j, k] = hjk
                 w = w - hjk * V[j]
-            hk1 = float(jnp.linalg.norm(w))
+            hk1 = _norm(w)
             H[k + 1, k] = hk1
             for j in range(k):
                 t = cs[j] * H[j, k] + sn[j] * H[j + 1, k]
@@ -346,27 +392,27 @@ def bicgstab(A, b, M=None, control=None, x0=None) -> SolveResult:
     control = control or ReductionControl()
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
-    res = float(jnp.linalg.norm(r))
+    res = _norm(r)
     state = control.check(0, res)
     r0 = r
     rho_old = alpha = omega = 1.0
     v = p = jnp.zeros_like(b)
     it = 0
     while state == "iterate":
-        rho = float(jnp.vdot(r0, r))
+        rho = _dot(r0, r)
         if rho == 0.0 or omega == 0.0:
             break
         beta = (rho / rho_old) * (alpha / omega)
         p = r + beta * (p - omega * v)
         phat = M(p)
         v = A(phat)
-        denom = float(jnp.vdot(r0, v))
+        denom = _dot(r0, v)
         if denom == 0.0:
             break
         alpha = rho / denom
         s = r - alpha * v
         # early exit on half step
-        res = float(jnp.linalg.norm(s))
+        res = _norm(s)
         it += 1
         state = control.check(it, res)
         if state != "iterate":
@@ -374,12 +420,12 @@ def bicgstab(A, b, M=None, control=None, x0=None) -> SolveResult:
             break
         shat = M(s)
         t = A(shat)
-        tt = float(jnp.vdot(t, t))
-        omega = float(jnp.vdot(t, s)) / tt if tt else 0.0
+        tt = _dot(t, t)
+        omega = _dot(t, s) / tt if tt else 0.0
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         rho_old = rho
-        res = float(jnp.linalg.norm(r))
+        res = _norm(r)
         state = control.check(it, res)
     return SolveResult(x, it, state == "success", control.history)
 
@@ -391,14 +437,14 @@ def richardson(A, b, M=None, control=None, x0=None, omega=1.0) -> SolveResult:
     control = control or ReductionControl()
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
-    res = float(jnp.linalg.norm(r))
+    res = _norm(r)
     state = control.check(0, res)
     it = 0
     while state == "iterate":
         x = x + omega * M(r)
         r = b - A(x)
         it += 1
-        res = float(jnp.linalg.norm(r))
+        res = _norm(r)
         state = control.check(it, res)
     return SolveResult(x, it, state == "success", control.history)
 
@@ -410,7 +456,7 @@ def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
     control = control or ReductionControl()
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
-    res = float(jnp.linalg.norm(r))
+    res = _norm(r)
     state = control.check(0, res)
     it = 0
     n = b.shape[0]
@@ -422,7 +468,7 @@ def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
     Mmat = np.eye(s)
     om = 1.0
     while state == "iterate":
-        f = np.array([float(jnp.vdot(P[j], r)) for j in range(s)])
+        f = np.array([_dot(P[j], r) for j in range(s)])
         for k in range(s):
             if state != "iterate":
                 break
@@ -437,12 +483,12 @@ def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
             g = A(u)
             # bi-orthogonalize against P[0..k-1]
             for j in range(k):
-                alpha = float(jnp.vdot(P[j], g)) / Mmat[j, j]
+                alpha = _dot(P[j], g) / Mmat[j, j]
                 g = g - alpha * G[j]
                 u = u - alpha * U[j]
             G[k], U[k] = g, u
             for j in range(k, s):
-                Mmat[j, k] = float(jnp.vdot(P[j], g))
+                Mmat[j, k] = _dot(P[j], g)
             if Mmat[k, k] == 0.0:
                 state = "failure"
                 break
@@ -450,7 +496,7 @@ def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
             x = x + beta * u
             r = r - beta * g
             it += 1
-            res = float(jnp.linalg.norm(r))
+            res = _norm(r)
             state = control.check(it, res)
             if state != "iterate":
                 break
@@ -462,12 +508,12 @@ def idr(A, b, M=None, control=None, x0=None, s=2, seed=42) -> SolveResult:
         # dimension-reduction step
         v = M(r)
         t = A(v)
-        tt = float(jnp.vdot(t, t))
-        om = float(jnp.vdot(t, r)) / tt if tt else 0.0
+        tt = _dot(t, t)
+        om = _dot(t, r) / tt if tt else 0.0
         x = x + om * v
         r = r - om * t
         it += 1
-        res = float(jnp.linalg.norm(r))
+        res = _norm(r)
         state = control.check(it, res)
     return SolveResult(x, it, state == "success", control.history)
 
