@@ -123,12 +123,26 @@ class LaplaceOperator:
             self.A_loc = jnp.asarray(A_loc, dtype)
             # globally separable form: A = Σ_d M̂⊗…K̂_d…⊗M̂ with assembled 1D
             # factors — applies as dense axis matmuls on the grid (tensorops)
-            from .tensorops import global_laplace_1d_factors
+            from .tensorops import (
+                cartesian_stable_factors,
+                global_laplace_1d_factors,
+            )
 
             factors = global_laplace_1d_factors(self.mesh, self.degree,
                                                 self.n_q_1d)
             self.M1d_global = [jnp.asarray(M, dtype) for M, _ in factors]
             self.K1d_global = [jnp.asarray(K, dtype) for _, K in factors]
+            # gradient-factored alternative form (kernel="stable"): measured
+            # to have the SAME low-precision rounding behavior as the
+            # Kronecker-sum form (the 1/h cancellation reappears in the
+            # integration stage), so it is opt-in only; accurate residuals at
+            # scale come from the f64 outer solve (P8), as in the reference
+            self.stable_factors = None
+            if kernel == "stable":
+                sf = cartesian_stable_factors(self.mesh, self.degree,
+                                              self.n_q_1d, dofs.nodes_per_dim)
+                self.stable_factors = [
+                    [jnp.asarray(E, dtype) for E in row] for row in sf]
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
             # deformed-geometry tensor path: global per-axis value/derivative
@@ -175,15 +189,20 @@ class LaplaceOperator:
         # computation — lazy (device upload only when actually used)
         self._B_dev = None
 
-        self._vmult = jax.jit(self._vmult_impl)
+        # the merged-geometry coefficient tensors are O(n): pass them as jit
+        # ARGUMENTS (captured constants ship inside the compile request and
+        # overflow remote-compile size limits at scale)
+        self._coeff_args = tuple(getattr(self, "coeff6", ()) or ())
+        self._vmult = jax.jit(lambda u, *c6: self._vmult_impl(u, c6))
         # fused-vector-op forms (the reference fuses pre/post vector updates
         # into the cell loop, operator.h:1368-1430; under XLA the fusion is
         # automatic inside one jitted expression)
-        self._residual = jax.jit(lambda b, x: b - self._vmult_impl(x))
+        self._residual = jax.jit(
+            lambda b, x, *c6: b - self._vmult_impl(x, c6))
 
     def residual(self, b, x):
         """r = b - A x as one fused program."""
-        return self._residual(b, x)
+        return self._residual(b, x, *self._coeff_args)
 
     @property
     def constrained(self):
@@ -322,7 +341,9 @@ class LaplaceOperator:
         v = v + ap(ap(ap(w, 5, Kx), 3, My), 1, Mz)  # Mz My Kx u
         return v
 
-    def _vmult_impl(self, u):
+    def _vmult_impl(self, u, coeff6=None):
+        if coeff6 is None or len(coeff6) == 0:
+            coeff6 = getattr(self, "coeff6", None)
         if self.access == "lattice":
             free = self._free_mask()
             u0 = jnp.where(free, u, 0.0).astype(self.dtype)
@@ -330,17 +351,22 @@ class LaplaceOperator:
             free = None
             u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         if self.access == "lattice" and self.coeff is None:
-            from .tensorops import separable_laplace_apply
+            from .tensorops import separable_laplace_apply, separable_stable_apply
 
-            dst = separable_laplace_apply(
-                u0.reshape(self.grid_shape), self.M1d_global, self.K1d_global,
-                self.dim).reshape(-1)
+            if self.stable_factors is not None:
+                dst = separable_stable_apply(
+                    u0.reshape(self.grid_shape), self.stable_factors,
+                    self.dim).reshape(-1)
+            else:
+                dst = separable_laplace_apply(
+                    u0.reshape(self.grid_shape), self.M1d_global,
+                    self.K1d_global, self.dim).reshape(-1)
         elif self.access == "lattice":
             from .tensorops import merged_laplace_apply
 
             dst = merged_laplace_apply(
                 u0.reshape(self.grid_shape), self.Ev, self.Ed, self.Evt,
-                self.Edt, self.coeff6, self.dim).reshape(-1)
+                self.Edt, coeff6, self.dim).reshape(-1)
         else:
             uc = u0[self.cell_dofs]  # (C, L)
             v = self.apply_cells(uc)
@@ -351,14 +377,14 @@ class LaplaceOperator:
         return jnp.where(self.constrained, u, dst)
 
     def vmult(self, u):
-        return self._vmult(u)
+        return self._vmult(u, *self._coeff_args)
 
     def vmult_traceable(self, u):
         """Un-jitted apply, for composition inside larger jitted programs."""
         return self._vmult_impl(u)
 
     def __call__(self, u):
-        return self._vmult(u)
+        return self.vmult(u)
 
     # -- diagonal / rhs / dense -------------------------------------------------
 

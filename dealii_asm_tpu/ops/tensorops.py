@@ -114,6 +114,53 @@ def fdm_direction_transform(eigvecs_c: np.ndarray, n_nodes: int, degree: int,
     return G
 
 
+def cartesian_stable_factors(mesh, degree: int, n_q_1d: int | None = None,
+                             nodes_per_dim=None):
+    """Gradient-factored Cartesian operator: A = Σ_d (⊗_e Ã_e^{(d)})ᵀ(⊗_e Ã_e^{(d)}).
+
+    Ã_e^{(d)} is the global per-axis evaluation matrix with √(quadrature
+    weight · h_e) folded in (derivative axis additionally scaled 1/h_d).
+    Algebraically identical to the Σ⊗M̂K̂ form, but numerically far stabler in
+    low precision: the Kronecker-sum form accumulates the global 1/h-scaled
+    stiffness rows directly (relative error ~eps/h² on smooth fields — 36x at
+    64³ cells in f32), while this form differentiates first (error ~eps·p²/h,
+    deal.II-float quality).
+    """
+    from ..fem.lagrange import shape_1d
+
+    dim = mesh.dim
+    s = shape_1d(degree, n_q_1d)
+    sw = np.sqrt(s.w)
+    out = []  # out[d][e] = global matrix for grid direction e of term d
+    for d in range(dim):
+        mats = []
+        for e in range(dim):
+            h = mesh.h[e]
+            if e == d:
+                B = (sw[:, None] * s.D) * (np.sqrt(h) / h)
+            else:
+                B = (sw[:, None] * s.N) * np.sqrt(h)
+            E = interp_direction_transform(B, nodes_per_dim[e], degree,
+                                           mesh.n_cells[e], mesh.periodic[e])
+            mats.append(E)
+        out.append(mats)
+    return out
+
+
+def separable_stable_apply(u_grid, factors, dim: int):
+    """v = Σ_d (⊗Ã)ᵀ(⊗Ã) u via per-term forward/backward axis matmuls."""
+    ax = lambda d: dim - 1 - d
+    v = None
+    for d in range(dim):
+        t = u_grid
+        for e in range(dim):
+            t = axis_matmul(t, factors[d][e], ax(e))
+        for e in range(dim):
+            t = axis_matmul(t, factors[d][e].T, ax(e))
+        v = t if v is None else v + t
+    return v
+
+
 def interp_direction_transform(B: np.ndarray, n_nodes: int, degree: int,
                                n_cells: int, periodic: bool) -> np.ndarray:
     """Global per-axis evaluation matrix E (C·q × N) from a 1D shape matrix
