@@ -210,24 +210,29 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
 
     precon_p = get_child(params, "preconditioner")
     ptype = precon_p.get("type", "")
+    mg_inner = None  # un-adapted float-level MG (mixed-precision fast path)
+    level_dtype = dtype
     if ptype == "Multigrid":
         log("- Create system preconditioner: Multigrid")
-        # mixed precision: the reference runs double outer Krylov with float
-        # MG levels (element_centered_preconditioners_01.cc:787-792); here the
-        # level dtype is configurable ("mg number type"), default = outer
+        # mixed precision: the reference hard-codes float MG levels under a
+        # double outer Krylov (element_centered_preconditioners_01.cc:788-792,
+        # LevelOperatorType = LaplaceOperatorMatrixFree<dim, float>); the
+        # level dtype is configurable via "mg number type" with the same
+        # default (float32 whenever the outer runs in float64)
         import jax.numpy as _jnp
 
+        default_lt = "float32" if dtype == _jnp.float64 else ""
         level_dtype = {"": dtype, "float64": _jnp.float64,
                        "float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
-            get_param(params, "mg number type", "")]
+            get_param(params, "mg number type", default_lt)]
         precon = _build_multigrid(precon_p, family, fe_degree, op, log,
                                   level_dtype)
         if level_dtype != dtype:
             from ..precond.adapter import PrecisionAdapter
 
-            inner = precon
-            precon = PrecisionAdapter(inner, level_dtype)
-            precon.timer = inner.timer
+            mg_inner = precon
+            precon = PrecisionAdapter(mg_inner, level_dtype)
+            precon.timer = mg_inner.timer
     else:
         precon = create_system_preconditioner(op, precon_p, log)
 
@@ -253,10 +258,37 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         if mtv > 0:
             kwargs["restart"] = mtv - 2
 
-    def dispatch():
-        return krylov_solve(solver_type, op.vmult, b, M=precon.vmult,
-                            max_iterations=max_it, abs_tolerance=abs_tol,
-                            rel_tolerance=rel_tol, **kwargs)
+    # P8 fast path: the f64 outer Krylov is software-emulated on TPU (~50x an
+    # f32 apply), so above a size threshold "auto" dispatches the
+    # mixed-precision iterative-refinement solver — f32 MG-preconditioned
+    # inner solves, f64 only for the true residuals (solvers/refinement.py).
+    # Small (golden-parity) runs keep the reference's exact algorithm: all-f64
+    # Krylov over the float-level MG.
+    mp_solve = get_param(params, "mixed precision solve", "auto")
+    use_refinement = (
+        mg_inner is not None and solver_type in ("CG", "GMRES")
+        and (mp_solve is True
+             or (mp_solve == "auto" and dtype == jnp.float64
+                 and dofs.n_dofs > 2_000_000)))
+    if use_refinement:
+        from ..solvers.krylov import cg as _cg, gmres as _gmres
+        from ..solvers.refinement import refined_solve
+
+        op32 = LaplaceOperator(dofs, dtype=level_dtype)
+        inner_solver = _cg if solver_type == "CG" else _gmres
+        inner_red = float(get_param(solver_p, "inner reduction", 3e-4))
+        log("   - mixed-precision refinement (f32 inner, f64 residuals)")
+
+        def dispatch():
+            return refined_solve(
+                op.vmult, op32.vmult, b, mg_inner.vmult,
+                rel_tolerance=rel_tol, abs_tolerance=abs_tol,
+                inner_reduction=inner_red, inner_solver=inner_solver, log=log)
+    else:
+        def dispatch():
+            return krylov_solve(solver_type, op.vmult, b, M=precon.vmult,
+                                max_iterations=max_it, abs_tolerance=abs_tol,
+                                rel_tolerance=rel_tol, **kwargs)
 
     result = dispatch()  # warm up (compiles)
     best_of = int(get_param(solver_p, "best of", 1))

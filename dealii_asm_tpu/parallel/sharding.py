@@ -83,11 +83,38 @@ class ShardedPoissonStep:
         return self._step(x, b)
 
 
+class HaloSolverStep:
+    """Fused smoothed-Richardson step on the explicit-halo sharded operators.
+
+    x ← x + cheb(b − A x) with A and the FDM smoother applied through
+    shard_map/ppermute halo exchanges (parallel/halo.py) — the production
+    multi-chip hot path, jitted as ONE program.
+    """
+
+    def __init__(self, sl, cheb_degree=2, eigenvalues=None):
+        import jax
+
+        from ..solvers.chebyshev import ChebyshevPreconditioner, EigenvalueInfo
+
+        self.sl = sl
+        cheb = ChebyshevPreconditioner(
+            sl.vmult_traceable, sl.smoother_traceable, sl.n_padded,
+            degree=cheb_degree,
+            eigenvalues=eigenvalues or EigenvalueInfo(1.0, 1.2, 0))
+        self.cheb = cheb
+        self._step = jax.jit(
+            lambda x, b: x + cheb.vmult(b - sl.vmult_traceable(x)))
+
+    def step(self, x, b):
+        return self._step(x, b)
+
+
 def sharded_solver_step(dim=3, degree=2, cells_per_device=2, n_devices=None,
-                        mesh=None, dtype=jnp.float32):
+                        mesh=None, dtype=jnp.float32, mode="halo"):
     """Build a tiny sharded problem + one jitted solve step (dryrun helper).
 
-    Fully periodic so the DoF lattice divides evenly across devices.
+    mode="halo": explicit shard_map/ppermute ghost exchange (default);
+    mode="spmd": NamedSharding-annotated arrays, XLA chooses collectives.
     """
     from ..fem.dofs import DofHandler
     from ..mesh.grid import StructuredMesh
@@ -98,19 +125,32 @@ def sharded_solver_step(dim=3, degree=2, cells_per_device=2, n_devices=None,
     mesh = mesh or make_mesh(n_devices)
     n_dev = mesh.devices.size
     cells = tuple([4] * (dim - 1) + [cells_per_device * n_dev])
+    rng = np.random.default_rng(0)
+    if mode == "halo":
+        from .halo import ShardedLattice
+
+        # Dirichlet cube: its z node count does NOT divide the device count,
+        # exercising the pad-plane machinery of the halo path
+        smesh = StructuredMesh(dim, cells)
+        dofs = DofHandler(smesh, degree)
+        op = LaplaceOperator(dofs, dtype=dtype)
+        asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                                dtype=dtype)
+        sl = ShardedLattice(op, asm, mesh)
+        step = HaloSolverStep(sl)
+        b = sl.pad(jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype))
+        x = sl.pad(jnp.zeros(dofs.n_dofs, dtype))
+        return step, x, b
+    # XLA-SPMD fallback path: fully periodic so the lattice divides evenly
     smesh = StructuredMesh(dim, cells, periodic=(True,) * dim)
     dofs = DofHandler(smesh, degree)
     op = LaplaceOperator(dofs, dtype=dtype)
     asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm", dtype=dtype)
-    # fixed eigenvalue bounds: estimation is a setup-time concern, not part of
-    # the jitted step (the periodic operator is singular; shift is irrelevant
-    # for a sharding dry-run)
     cheb = ChebyshevPreconditioner(
         op.vmult_traceable, asm.vmult_traceable, dofs.n_dofs, degree=2,
         eigenvalues=EigenvalueInfo(1.0, 1.2, 0))
     step = ShardedPoissonStep(op, cheb, mesh, asm=asm)
     n = dofs.n_dofs
-    rng = np.random.default_rng(0)
     b = shard_dofs(mesh, jnp.asarray(rng.standard_normal(n), dtype))
     x = shard_dofs(mesh, jnp.zeros(n, dtype))
     return step, x, b
