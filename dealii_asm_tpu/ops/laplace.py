@@ -41,6 +41,47 @@ def _apply_1d(mat: jnp.ndarray, u: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(u, -1, full_axis)
 
 
+def gradients_sumfac(u, N1, D1, dim: int, n: int):
+    """Cell-batched reference gradients: (C, n^dim) -> (C, Q, dim), x fastest."""
+    u = u.reshape((-1,) + (n,) * dim)
+    if dim == 2:
+        t0 = _apply_1d(N1, u, 1)
+        gy = _apply_1d(D1, t0, 0)
+        gx = _apply_1d(N1, _apply_1d(D1, u, 1), 0)
+        grads = [gx, gy]
+    elif dim == 3:
+        t0 = _apply_1d(N1, u, 2)
+        t1 = _apply_1d(N1, t0, 1)
+        gz = _apply_1d(D1, t1, 0)
+        gy = _apply_1d(N1, _apply_1d(D1, t0, 1), 0)
+        gx = _apply_1d(N1, _apply_1d(N1, _apply_1d(D1, u, 2), 1), 0)
+        grads = [gx, gy, gz]
+    else:
+        raise NotImplementedError(dim)
+    Q = N1.shape[0] ** dim
+    return jnp.stack([g.reshape(-1, Q) for g in grads], axis=2)
+
+
+def integrate_sumfac(t, N1, D1, dim: int):
+    """Transpose of gradients_sumfac: (C, Q, dim) -> (C, n^dim)."""
+    q = N1.shape[0]
+    N, D = N1.T, D1.T
+    Qshape = (-1,) + (q,) * dim
+    if dim == 2:
+        tx = t[:, :, 0].reshape(Qshape)
+        ty = t[:, :, 1].reshape(Qshape)
+        v = _apply_1d(N, _apply_1d(D, tx, 1), 0) + _apply_1d(
+            D, _apply_1d(N, ty, 1), 0)
+    else:
+        tx = t[:, :, 0].reshape(Qshape)
+        ty = t[:, :, 1].reshape(Qshape)
+        tz = t[:, :, 2].reshape(Qshape)
+        v = (_apply_1d(N, _apply_1d(N, _apply_1d(D, tx, 2), 1), 0)
+             + _apply_1d(N, _apply_1d(D, _apply_1d(N, ty, 2), 1), 0)
+             + _apply_1d(D, _apply_1d(N, _apply_1d(N, tz, 2), 1), 0))
+    return v.reshape(v.shape[0], -1)
+
+
 class LaplaceOperator:
     """Poisson/Laplace operator on a DofHandler.
 
@@ -249,54 +290,11 @@ class LaplaceOperator:
 
     def _gradients_sumfac(self, u):
         """u (C, n^dim flattened local, x fastest) -> gradients at q (C, Q, dim)."""
-        n = self.degree + 1
-        q = self.n_q_1d
-        u = u.reshape(self._local_shape(n))  # (C, [z, y,] x) x = last
-        dim = self.dim
-        N, D = self.N1, self.D1
-        grads = []
-        # local axes: axis index (0..dim-1), axis dim-1 is x (fastest)
-        # direction d refers to coordinate d (x = 0), stored at local axis dim-1-d
-        if dim == 2:
-            t0 = _apply_1d(N, u, 1)              # N_x : (C, y, qx)
-            gy = _apply_1d(D, t0, 0)             # D_y
-            gx = _apply_1d(N, _apply_1d(D, u, 1), 0)
-            grads = [gx, gy]
-        elif dim == 3:
-            t0 = _apply_1d(N, u, 2)              # N_x : (C, z, y, qx)
-            t1 = _apply_1d(N, t0, 1)             # N_y : (C, z, qy, qx)
-            gz = _apply_1d(D, t1, 0)
-            gy = _apply_1d(N, _apply_1d(D, t0, 1), 0)
-            gx = _apply_1d(N, _apply_1d(N, _apply_1d(D, u, 2), 1), 0)
-            grads = [gx, gy, gz]
-        else:
-            raise NotImplementedError(dim)
-        Q = q**dim
-        return jnp.stack([g.reshape(-1, Q) for g in grads], axis=2)  # (C, Q, dim)
+        return gradients_sumfac(u, self.N1, self.D1, self.dim, self.degree + 1)
 
     def _integrate_sumfac(self, t):
         """t (C, Q, dim) -> v (C, L): v = Σ_d ∫ ∂_d φ · t_d."""
-        n = self.degree + 1
-        q = self.n_q_1d
-        dim = self.dim
-        N, D = self.N1.T, self.D1.T  # transposed: (n, q)
-        Qshape = (-1,) + (q,) * dim
-        parts = []
-        if dim == 2:
-            tx = t[:, :, 0].reshape(Qshape)
-            ty = t[:, :, 1].reshape(Qshape)
-            vx = _apply_1d(N, _apply_1d(D, tx, 1), 0)
-            vy = _apply_1d(D, _apply_1d(N, ty, 1), 0)
-            v = vx + vy
-        else:
-            tx = t[:, :, 0].reshape(Qshape)
-            ty = t[:, :, 1].reshape(Qshape)
-            tz = t[:, :, 2].reshape(Qshape)
-            vx = _apply_1d(N, _apply_1d(N, _apply_1d(D, tx, 2), 1), 0)
-            vy = _apply_1d(N, _apply_1d(D, _apply_1d(N, ty, 2), 1), 0)
-            vz = _apply_1d(D, _apply_1d(N, _apply_1d(N, tz, 2), 1), 0)
-            v = vx + vy + vz
-        return v.reshape(v.shape[0], -1)
+        return integrate_sumfac(t, self.N1, self.D1, self.dim)
 
     def _apply_coefficient(self, g):
         """g (C, Q, dim) reference gradients -> coefficient-scaled (C, Q, dim)."""

@@ -1,0 +1,146 @@
+"""Additive/restricted Schwarz + FDM smoother on unstructured meshes.
+
+The unstructured counterpart of ``ASMPreconditioner`` (see asm.py): the ball
+family's smoother.  Element-centric overlap-1 patches coincide with the cell
+DoF lattice (``get_dof_indices_cell_with_overlap`` with n_overlap=1,
+/root/reference/include/dof_tools.h:9-137), so the gather table is the
+orientation-baked ``cell_dofs``; local solves are batched FDM inverses built
+from harmonic patch extents exactly as on structured meshes
+(/root/reference/include/matrix_free.h:350-392).
+
+Larger overlaps/vertex patches on unstructured meshes require cross-cell index
+splicing with rotated local frames; they are intentionally staged after the
+structured fast paths (the reference's ball benchmarks run overlap 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.general_dofs import GeneralDofHandler
+from .asm import _batched_apply, _dedup_collection
+from .fdm import fdm_1d_matrices
+
+
+class GeneralASMPreconditioner:
+    """Element-centric overlap-1 additive Schwarz with FDM local solves."""
+
+    def __init__(self, dofs: GeneralDofHandler, n_overlap: int = 1,
+                 weighting_type: str = "post", dtype=jnp.float64,
+                 n_q_1d: int | None = None):
+        if n_overlap != 1:
+            raise NotImplementedError(
+                "unstructured patches: overlap 1 only (reference ball configs)")
+        if weighting_type not in ("none", "pre", "post", "symm", "ras"):
+            raise ValueError(weighting_type)
+        self.dofs = dofs
+        mesh = dofs.mesh
+        self.dim = mesh.dim
+        self.degree = p = dofs.degree
+        self.n_overlap = 1
+        self.m = p + 1
+        self.weighting_type = weighting_type
+        self.dtype = dtype
+
+        extents = mesh.harmonic_patch_extents(n_q_1d or (p + 1))  # (C, dim, 3)
+        nbr = mesh.face_neighbors()  # (C, 2*dim): face 2d+s
+        has_l = (nbr[:, 0::2] >= 0).astype(np.float64)  # (C, dim)
+        has_r = (nbr[:, 1::2] >= 0).astype(np.float64)
+
+        def build(d, key):
+            h_l, h_c, h_r, hl_flag, hr_flag = key
+            bc_l = "internal" if hl_flag else "dirichlet"
+            bc_r = "internal" if hr_flag else "dirichlet"
+            return fdm_1d_matrices(p, 1, (h_l, h_c, h_r), bc_l, bc_r, n_q_1d)
+
+        keys = np.concatenate(
+            [np.round(extents, 12), has_l[:, :, None], has_r[:, :, None]],
+            axis=2)  # (C, dim, 5)
+        self.collection = _dedup_collection(keys, build)
+
+        n = dofs.n_dofs
+        idx = dofs.cell_dofs.astype(np.int64)
+        mask = dofs.boundary_mask
+        idx = np.where(mask[idx], n, idx)
+        self.patch_idx = jnp.asarray(idx.astype(np.int32))
+        self.n_dofs = n
+        self.constrained = jnp.asarray(mask)
+
+        valid = idx < n
+        counts = np.zeros(n + 1)
+        np.add.at(counts, idx.reshape(-1), valid.reshape(-1).astype(np.float64))
+        counts[counts == 0] = 1.0
+        inv_count = 1.0 / counts
+        inv_count[-1] = 0.0
+        w = np.sqrt(inv_count) if weighting_type == "symm" else inv_count
+        self.weights = jnp.asarray(w[:-1], dtype)
+
+        self.ras_mask = None
+        if weighting_type == "ras":
+            P, L = idx.shape
+            owner = np.full(n + 1, np.iinfo(np.int64).max)
+            np.minimum.at(owner, idx.reshape(-1),
+                          np.repeat(np.arange(P), L))
+            self.ras_mask = jnp.asarray(
+                ((idx < n) & (owner[idx] == np.arange(P)[:, None]))
+                .astype(np.float64), dtype)
+
+        coll = self.collection
+        self.eigvecs = [jnp.asarray(v, dtype) for v in coll.eigvecs]
+        self.eigvals = [jnp.asarray(l, dtype) for l in coll.eigvals]
+        self.ids = jnp.asarray(coll.ids)
+
+        self._vmult = jax.jit(self._vmult_impl)
+
+    def _fdm_apply(self, xp):
+        C = xp.shape[0]
+        m = self.m
+        u = xp.reshape((C,) + (m,) * self.dim)
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            V = self.eigvecs[d][self.ids[:, d]]
+            u = _batched_apply(V, u, a, transpose=True)
+        denom = None
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            lam = self.eigvals[d][self.ids[:, d]]
+            shape = [C] + [1] * self.dim
+            shape[1 + a] = m
+            lam = lam.reshape(shape)
+            denom = lam if denom is None else denom + lam
+        u = u / denom
+        for a in range(self.dim):
+            d = self.dim - 1 - a
+            V = self.eigvecs[d][self.ids[:, d]]
+            u = _batched_apply(V, u, a, transpose=False)
+        return u.reshape(C, m**self.dim)
+
+    def _vmult_impl(self, src):
+        w = self.weights
+        x = src
+        if self.weighting_type in ("pre", "symm"):
+            x = x * w
+        xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+        xp = xpad[self.patch_idx]
+        y = self._fdm_apply(xp)
+        if self.ras_mask is not None:
+            y = y * self.ras_mask
+        dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+            self.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
+        if self.weighting_type in ("post", "symm"):
+            dst = dst * w
+        return dst
+
+    def vmult(self, src):
+        return self._vmult(src)
+
+    def vmult_traceable(self, src):
+        return self._vmult_impl(src)
+
+    def __call__(self, src):
+        return self.vmult(src)
+
+    def step(self, x, b, A, relaxation: float = 1.0):
+        return x + relaxation * self.vmult(b - A(x))
