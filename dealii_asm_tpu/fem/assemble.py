@@ -132,3 +132,43 @@ def assemble_laplace_iso_q1(
         z = sp.diags((~mask).astype(np.float64))
         A = z @ A @ z + sp.diags(mask.astype(np.float64))
     return A
+
+
+def assemble_laplace_general(
+    dofs,
+    n_q_1d: int | None = None,
+    mapping_degree: int | None = None,
+    constrained: str = "identity",
+) -> sp.csr_matrix:
+    """Assemble the global Laplace matrix on an unstructured mesh
+    (GeneralDofHandler) — the slow oracle for the hyperball family."""
+    p = dofs.degree
+    mesh = dofs.mesh
+    dim = mesh.dim
+    n_q_1d = n_q_1d or (p + 1)
+    if mapping_degree is None:
+        mapping_degree = 1 if mesh.project is None else 2
+    s = shape_1d(p, n_q_1d)
+    B = _tensor_gradient(s.N, s.D, dim)  # (Q, L, dim)
+    from ..mesh.grid import _tensor_weights
+
+    wq = _tensor_weights([s.w] * dim)
+    J = mesh.jacobians(mapping_degree, s.q)
+    detj = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)
+    coeff = np.einsum("cqde,cqfe->cqdf", Jinv, Jinv)
+    coeff *= (wq[None, :] * detj)[:, :, None, None]
+    A_loc = np.einsum("cqde,qld,qme->clm", coeff, B, B)
+
+    cd = np.asarray(dofs.cell_dofs, dtype=np.int64)
+    C, L = cd.shape
+    rows = np.repeat(cd, L, axis=1).ravel()
+    cols = np.tile(cd, (1, L)).ravel()
+    A = sp.coo_matrix(
+        (A_loc.reshape(-1), (rows, cols)), shape=(dofs.n_dofs, dofs.n_dofs)
+    ).tocsr()
+    if constrained == "identity":
+        mask = dofs.boundary_mask
+        z = sp.diags((~mask).astype(np.float64))
+        A = z @ A @ z + sp.diags(mask.astype(np.float64))
+    return A

@@ -290,16 +290,49 @@ class UnstructuredMesh:
 
     def _project_boundary_lattices(self, sp: np.ndarray, unit: np.ndarray,
                                    mapping_degree: int) -> np.ndarray:
-        """Snap mapping support points on boundary faces to the manifold."""
+        """Snap mapping support points on boundary faces AND boundary edges to
+        the manifold.
+
+        The edge pass covers cells that touch the curved boundary only along
+        an edge (no boundary face): without it their mapping disagrees with
+        the neighbor that owns the boundary face — a nonconforming geometry
+        (deal.II attaches the manifold to boundary edges for the same reason).
+        """
         dim = self.dim
         nbr = self.face_neighbors()
-        m1 = mapping_degree + 1
         for c, f in zip(*np.where(nbr < 0)):
             d, s = f // 2, f % 2
-            # lattice points on that face: unit[:, d] == s
             on_face = np.isclose(unit[:, d], float(s))
-            pts = sp[c, on_face]
-            sp[c, on_face] = np.asarray(self.project(pts))
+            sp[c, on_face] = np.asarray(self.project(sp[c, on_face]))
+        if dim == 3:
+            # boundary-edge keys (encoded min·V + max)
+            V = self.n_vertices
+            fv = _face_vertices(dim)
+            keys = []
+            for c, f in zip(*np.where(nbr < 0)):
+                fg = self.cells[c, fv[f]]
+                for a, b in ((0, 1), (2, 3), (0, 2), (1, 3)):
+                    lo, hi = sorted((int(fg[a]), int(fg[b])))
+                    keys.append(lo * V + hi)
+            bnd_edges = np.unique(np.asarray(keys, dtype=np.int64))
+            for (a, b, ax) in _edge_vertices(dim):
+                va = self.cells[:, a]
+                vb = self.cells[:, b]
+                k = np.minimum(va, vb) * V + np.maximum(va, vb)
+                cs = np.where(np.isin(k, bnd_edges))[0]
+                if len(cs) == 0:
+                    continue
+                # unit lattice points on that local edge: the two off-axis
+                # coords pinned at the edge's corner values
+                on = np.ones(unit.shape[0], dtype=bool)
+                for d in range(dim):
+                    if d == ax:
+                        continue
+                    on &= np.isclose(unit[:, d], float(_VERTEX_COORDS[dim][a][d]))
+                idx = np.where(on)[0]
+                pts = sp[np.ix_(cs, idx)].reshape(-1, dim)
+                sp[np.ix_(cs, idx)] = np.asarray(self.project(pts)).reshape(
+                    len(cs), len(idx), dim)
         return sp
 
     def jacobians(self, mapping_degree: int, quad_pts_1d: np.ndarray) -> np.ndarray:

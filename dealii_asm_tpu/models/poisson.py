@@ -58,6 +58,59 @@ class MeshFamily:
         return self.n_refinements + 1
 
 
+class GeneralMeshFamily:
+    """A refinement family of unstructured meshes (the hyperball,
+    /root/reference/element_centered_preconditioners_01.cc:398-408)."""
+
+    def __init__(self, dim: int, coarse_mesh, n_refinements: int, name: str,
+                 mapping_degree: int = 2):
+        self.dim = dim
+        self.n_refinements = n_refinements
+        self.name = name
+        self.mapping_degree = mapping_degree
+        self.transform = None
+        self._meshes = [coarse_mesh]
+
+    def mesh_at(self, refinement: int):
+        while len(self._meshes) <= refinement:
+            self._meshes.append(self._meshes[-1].refine())
+        return self._meshes[refinement]
+
+    @property
+    def fine_mesh(self):
+        return self.mesh_at(self.n_refinements)
+
+    @property
+    def n_levels(self) -> int:
+        return self.n_refinements + 1
+
+
+def _make_dofs(family, mesh, degree: int):
+    if isinstance(family, GeneralMeshFamily):
+        from ..fem.general_dofs import GeneralDofHandler
+
+        return GeneralDofHandler(mesh, degree)
+    return DofHandler(mesh, degree)
+
+
+def _make_operator(family, dofs, dtype):
+    if isinstance(family, GeneralMeshFamily):
+        from ..ops.laplace_general import GeneralLaplaceOperator
+
+        return GeneralLaplaceOperator(dofs, dtype=dtype)
+    return LaplaceOperator(dofs, mapping_degree=family.mapping_degree
+                           if family.transform is not None else None,
+                           dtype=dtype)
+
+
+def _make_transfer(family, coarse_dofs, fine_dofs, dtype):
+    if isinstance(family, GeneralMeshFamily):
+        from ..ops.transfer_general import GeneralTwoLevelTransfer
+
+        return GeneralTwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype)
+    return TwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype)
+
+
 def make_mesh_family(params: dict, log=lambda *_: None) -> MeshFamily:
     """Mesh families of the driver
     (/root/reference/element_centered_preconditioners_01.cc:302-415)."""
@@ -97,7 +150,13 @@ def make_mesh_family(params: dict, log=lambda *_: None) -> MeshFamily:
         tf = kershaw_transform(epsy, epsz, shift_mp=(name == "kershaw-mp"))
         return MeshFamily(dim, (base,) * dim, n_refine, (1.0,) * dim,
                           (0.0,) * dim, tf, min(mapping_degree, 3), name)
-    raise ValueError(f"mesh family <{name}> not implemented (hyperball pending)")
+    if name == "hyperball":
+        from ..mesh.unstructured import hyper_ball_balanced
+
+        log("- Create mesh: hyperball\n")
+        return GeneralMeshFamily(dim, hyper_ball_balanced(dim), n_refine,
+                                 name, mapping_degree=min(mapping_degree, 2))
+    raise ValueError(f"Geometry with the name <{name}> is not known!")
 
 
 def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
@@ -144,16 +203,14 @@ def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
     dofs_list = []
     for r, d in levels:
         mesh = family.mesh_at(r)
-        dofs = DofHandler(mesh, d)
-        op = LaplaceOperator(dofs, mapping_degree=family.mapping_degree
-                             if family.transform is not None else None,
-                             dtype=dtype)
+        dofs = _make_dofs(family, mesh, d)
+        op = _make_operator(family, dofs, dtype)
         log(f"- Create operator:\n  - n cells:          {mesh.n_cells_total}\n"
             f"  - n dofs:           {dofs.n_dofs}\n")
         dofs_list.append(dofs)
         ops.append(op)
 
-    transfers = [TwoLevelTransfer(dofs_list[i], dofs_list[i + 1], dtype=dtype)
+    transfers = [_make_transfer(family, dofs_list[i], dofs_list[i + 1], dtype)
                  for i in range(len(levels) - 1)]
 
     smoother_p = get_child(params, "mg smoother")
@@ -196,8 +253,8 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     fe_degree = int(get_param(params, "degree", 1))
     family = make_mesh_family(params, log)
     mesh = family.fine_mesh
-    dofs = DofHandler(mesh, fe_degree)
-    op = LaplaceOperator(dofs, dtype=dtype)
+    dofs = _make_dofs(family, mesh, fe_degree)
+    op = _make_operator(family, dofs, dtype)
 
     rhs_name = get_param(params, "rhs", "constant")
     rhs_fn, dbc_fn = make_rhs_and_dbc(rhs_name, family.dim)
@@ -274,7 +331,7 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         from ..solvers.krylov import cg as _cg, gmres as _gmres
         from ..solvers.refinement import refined_solve
 
-        op32 = LaplaceOperator(dofs, dtype=level_dtype)
+        op32 = _make_operator(family, dofs, level_dtype)
         inner_solver = _cg if solver_type == "CG" else _gmres
         inner_red = float(get_param(solver_p, "inner reduction", 3e-4))
         log("   - mixed-precision refinement (f32 inner, f64 residuals)")

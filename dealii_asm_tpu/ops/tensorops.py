@@ -85,27 +85,36 @@ def separable_laplace_apply(u_grid, Ms, Ks, dim: int):
 
 
 def fdm_direction_transform(eigvecs_c: np.ndarray, n_nodes: int, degree: int,
-                            n_overlap: int, periodic: bool):
-    """G_d (C·m × N): window selection fused with the eigen-transform.
+                            n_overlap: int, periodic: bool,
+                            patch: str = "element"):
+    """G_d (W·m × N): window selection fused with the eigen-transform.
 
-    eigvecs_c: (C, m, m) per-window M-orthonormal eigenvectors along this
-    direction (columns = modes).  Window c covers nodes c·p − (o−1) … with m
-    slots; out-of-range slots (ghosts beyond a boundary) select nothing.
-    G[(c,k), n] = Σ_s V_c[s,k]·[n == wrap(c·p + s − (o−1))].
+    eigvecs_c: (W, m, m) per-window M-orthonormal eigenvectors along this
+    direction (columns = modes).  Element windows (patch="element") of window
+    w cover nodes w·p − (o−1)…; vertex windows (patch="vertex",
+    m = 2p−1) cover the star of interior vertex w+1: nodes w·p+1… (periodic:
+    every vertex, nodes w·p − (p−1)… wrapped).  Out-of-range slots (ghosts
+    beyond a boundary) select nothing.
+    G[(w,k), n] = Σ_s V_w[s,k]·[n == wrap(start(w) + s)].
     """
     from .. import native
 
-    nat = native.fdm_direction_transform(
-        np.ascontiguousarray(eigvecs_c, dtype=np.float64), n_nodes, degree,
-        n_overlap, periodic)
-    if nat is not None:
-        return nat
     C, m, _ = eigvecs_c.shape
     p = degree
+    if patch == "element":
+        nat = native.fdm_direction_transform(
+            np.ascontiguousarray(eigvecs_c, dtype=np.float64), n_nodes, degree,
+            n_overlap, periodic)
+        if nat is not None:
+            return nat
+        start = lambda w: w * p - (n_overlap - 1)
+    else:
+        start = (lambda w: w * p - (p - 1)) if periodic else (
+            lambda w: w * p + 1)
     G = np.zeros((C * m, n_nodes))
     for c in range(C):
         for s in range(m):
-            n = c * p + s - (n_overlap - 1)
+            n = start(c) + s
             if periodic:
                 n %= n_nodes
             elif n < 0 or n >= n_nodes:

@@ -72,6 +72,20 @@ def create_system_preconditioner(op, params: dict, log=_noop_log):
         p.is_symmetric = True
         return p
 
+    if ptype == "CoarseCG":
+        # matrix-free coarse solver for large coarse levels (P7/scaling path):
+        # CG on the level operator, diagonal-preconditioned, to a fixed
+        # reduction — replaces the dense inverse where it would not scale
+        # (the reference runs AMG there, precondition.templates.h:592-613)
+        from .multigrid import IterativeCoarseSolver
+
+        p = IterativeCoarseSolver(
+            op, reduction=float(get_param(params, "reduction", 1e-4)),
+            max_iterations=int(get_param(params, "max iterations", 200)))
+        p.is_symmetric = True
+        log("- Create system preconditioner: CoarseCG\n")
+        return p
+
     if ptype in ("AdditiveSchwarzPreconditioner", "SubMeshPreconditioner",
                  "CGPreconditioner"):
         from .block_asm import create_block_preconditioner
@@ -131,12 +145,21 @@ def _create_fdm(op, params: dict, log):
     log(f"    - sub mesh approximation: {sub_mesh_approximation}")
     log("    - reuse partitioner:      true")
     log("    - compress indices:       false\n")
-    p = ASMPreconditioner(
-        op.dofs,
-        n_overlap=n_overlap,
-        weighting_type=weighting,
-        patch_type="element" if element_centric else "vertex",
-        dtype=op.dtype,
-    )
+    from ..fem.general_dofs import GeneralDofHandler
+
+    if isinstance(op.dofs, GeneralDofHandler):
+        from .asm_general import GeneralASMPreconditioner
+
+        p = GeneralASMPreconditioner(
+            op.dofs, n_overlap=min(n_overlap, 1), weighting_type=weighting,
+            dtype=op.dtype)
+    else:
+        p = ASMPreconditioner(
+            op.dofs,
+            n_overlap=n_overlap,
+            weighting_type=weighting,
+            patch_type="element" if element_centric else "vertex",
+            dtype=op.dtype,
+        )
     p.is_symmetric = weighting in ("none", "symm")
     return p

@@ -30,13 +30,50 @@ class DirectCoarseSolver:
     """
 
     def __init__(self, dofs, dtype=jnp.float64):
-        from ..fem.assemble import assemble_laplace
+        from ..fem.general_dofs import GeneralDofHandler
 
-        A = assemble_laplace(dofs).toarray()
+        if isinstance(dofs, GeneralDofHandler):
+            from ..fem.assemble import assemble_laplace_general as _asm
+        else:
+            from ..fem.assemble import assemble_laplace as _asm
+        A = _asm(dofs).toarray()
         self.Ainv = jnp.asarray(np.linalg.inv(A), dtype)
 
     def vmult(self, b):
         return self.Ainv @ b
+
+    def __call__(self, b):
+        return self.vmult(b)
+
+
+class IterativeCoarseSolver:
+    """Matrix-free coarse solve: diagonal-preconditioned CG to a reduction.
+
+    The scalable replacement for the dense inverse at large coarse sizes
+    (the reference runs Trilinos AMG there,
+    /root/reference/include/precondition.templates.h:592-613); fixed iteration
+    structure (lax.while under jit via the Krylov layer), usable inside a
+    whole-V-cycle jit because it is called with concrete tolerances.
+    """
+
+    def __init__(self, op, reduction: float = 1e-4, max_iterations: int = 200):
+        from ..solvers.krylov import cg_traceable
+
+        self._cg = cg_traceable
+        self.op = op
+        self.reduction = reduction
+        self.max_iterations = max_iterations
+        self._inv_diag = op.compute_inverse_diagonal()
+
+    def vmult(self, b):
+        inv_diag = self._inv_diag
+
+        def M(v):
+            return v * inv_diag
+
+        return self._cg(self.op.vmult_traceable, b, M,
+                        reduction=self.reduction,
+                        max_iterations=self.max_iterations)
 
     def __call__(self, b):
         return self.vmult(b)

@@ -539,3 +539,41 @@ def solve(solver_type, A, b, M=None, max_iterations=1000, abs_tolerance=1e-10,
         control = IterationNumberControl(max_iterations, abs_tolerance)
     fn = _SOLVERS[solver_type]
     return fn(A, b, M=M, control=control, **kwargs)
+
+
+def cg_traceable(A, b, M=None, reduction: float = 1e-4,
+                 max_iterations: int = 200):
+    """Jit-composable preconditioned CG (lax.while_loop, device-side control).
+
+    For use INSIDE larger jitted programs (e.g. as a scalable coarse-level
+    solver in a whole-V-cycle jit, where the reference runs AMG —
+    /root/reference/include/precondition.templates.h:592-613).  Stops on
+    ||r|| ≤ reduction·||b|| or after max_iterations; returns x only.
+    """
+    import jax
+    import jax.lax as lax
+
+    M = M or _identity
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+    target2 = (reduction * reduction) * jnp.vdot(b, b)
+
+    def cond(state):
+        it, x, r, p, rz = state
+        return (it < max_iterations) & (jnp.vdot(r, r) > target2)
+
+    def body(state):
+        it, x, r, p, rz = state
+        Ap = A(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (it + 1, x, r, p, rz_new)
+
+    _, x, _, _, _ = lax.while_loop(cond, body, (0, x0, r0, z0, rz0))
+    return x

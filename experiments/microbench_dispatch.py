@@ -34,7 +34,7 @@ def main():
         return x + asm.vmult_traceable(r)
 
     times = {}
-    for k in (1, 4, 16):
+    for k in (1, 2, 8):
         @jax.jit
         def many(x, k=k):
             for _ in range(k):
@@ -54,14 +54,14 @@ def main():
         print(f"k={k:3d}: {best * 1e3:9.3f} ms total, {best / k * 1e3:8.3f} ms/step",
               flush=True)
 
-    slope = (times[16] - times[4]) / 12
-    icept = times[4] - 4 * slope
+    slope = (times[8] - times[2]) / 6
+    icept = times[2] - 2 * slope
     print(f"true per-step: {slope * 1e3:.3f} ms  ({n / slope / 1e9:.2f} GDoF/s); "
           f"dispatch overhead ≈ {icept * 1e3:.3f} ms", flush=True)
 
     # same for a pure elementwise op (bandwidth reference)
     g = x.reshape(257, 257, 257)
-    for k in (1, 16):
+    for k in (1, 8):
         @jax.jit
         def ew(t, k=k):
             for _ in range(k):
@@ -78,7 +78,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / 5)
         print(f"elementwise k={k:3d}: {best * 1e3:9.3f} ms", flush=True)
         times[f"ew{k}"] = best
-    s = (times["ew16"] - times["ew1"]) / 15
+    s = (times["ew8"] - times["ew1"]) / 7
     print(f"elementwise true: {s * 1e3:.3f} ms -> {2 * n * 4 / s / 1e9:.0f} GB/s",
           flush=True)
 
