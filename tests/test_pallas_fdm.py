@@ -1,0 +1,67 @@
+"""Pallas FDM slab kernel: equality vs the XLA global-FDM path.
+
+Runs in interpreter mode on CPU (the driver benches the compiled kernel on the
+real chip).  Tolerance: the f32 global path itself deviates from f64 by ~6e-3
+relative (conditioning of the folded eigen-transforms), and the kernel
+reorders the same f32 arithmetic — so equality is asserted in that class, plus
+an f64-reference check that the kernel is no worse than the incumbent.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dealii_asm_tpu.fem.dofs import DofHandler
+from dealii_asm_tpu.mesh.grid import StructuredMesh
+from dealii_asm_tpu.precond.asm import ASMPreconditioner
+from dealii_asm_tpu.ops.pallas.fdm_slab import FDMSlabKernel
+
+
+@pytest.mark.parametrize("cells,p,wt", [
+    ((4, 4, 4), 2, "symm"),
+    ((4, 3, 5), 3, "symm"),
+    ((3, 4, 2), 2, "post"),
+    ((2, 3, 4), 4, "pre"),
+    ((3, 3, 3), 3, "none"),
+])
+def test_kernel_matches_global_path(cells, p, wt):
+    mesh = StructuredMesh(3, cells)
+    dofs = DofHandler(mesh, p)
+    asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type=wt,
+                            dtype=jnp.float32)
+    k = FDMSlabKernel(asm)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+    ref = np.asarray(asm.vmult(x))
+    out = np.asarray(k.apply(x, interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2
+
+
+def test_kernel_accuracy_vs_f64():
+    mesh = StructuredMesh(3, (4, 4, 4))
+    dofs = DofHandler(mesh, 3)
+    asm64 = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                              dtype=jnp.float64)
+    asm32 = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                              dtype=jnp.float32)
+    k = FDMSlabKernel(asm32)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(dofs.n_dofs)
+    r64 = np.asarray(asm64.vmult(jnp.asarray(x)))
+    r32 = np.asarray(asm32.vmult(jnp.asarray(x, jnp.float32)))
+    out = np.asarray(k.apply(jnp.asarray(x, jnp.float32), interpret=True))
+    err_inc = np.abs(r32 - r64).max() / np.abs(r64).max()
+    err_ker = np.abs(out - r64).max() / np.abs(r64).max()
+    # no worse than 2x the incumbent f32 path's own deviation
+    assert err_ker < max(2 * err_inc, 1e-4)
+
+
+def test_unsupported_configs_raise():
+    mesh = StructuredMesh(3, (4, 4, 4), periodic=(True, True, True))
+    dofs = DofHandler(mesh, 2)
+    asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                            dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        FDMSlabKernel(asm)
