@@ -45,6 +45,8 @@ def _kernel(lamz_ref, vzf_ref, vzb_ref, x1_ref, x2_ref, gy_ref, gyt_ref,
 
     @pl.when(w < n_win)
     def _():
+        dt = gy_ref.dtype  # f32 or stored-bf16 transforms
+
         def sl(s):  # window plane s: core block rows 0..p-1, then next block
             return x1_ref[s] if s < p else x2_ref[s - p]
 
@@ -53,11 +55,11 @@ def _kernel(lamz_ref, vzf_ref, vzb_ref, x1_ref, x2_ref, gy_ref, gyt_ref,
             T = vzf_ref[w, 0, k] * sl(0)
             for s in range(1, m):
                 T = T + vzf_ref[w, s, k] * sl(s)
-            B = jnp.dot(gy_ref[:], T, preferred_element_type=f32)
-            Cq = jnp.dot(B, gxT_ref[:], preferred_element_type=f32)
+            B = jnp.dot(gy_ref[:], T.astype(dt), preferred_element_type=f32)
+            Cq = jnp.dot(B.astype(dt), gxT_ref[:], preferred_element_type=f32)
             Cq = Cq / (lamyx_ref[:] + lamz_ref[w, k])
-            Y = jnp.dot(gyt_ref[:], Cq, preferred_element_type=f32)
-            Z = jnp.dot(Y, gxtT_ref[:], preferred_element_type=f32)
+            Y = jnp.dot(gyt_ref[:], Cq.astype(dt), preferred_element_type=f32)
+            Z = jnp.dot(Y.astype(dt), gxtT_ref[:], preferred_element_type=f32)
             # z-backward: scatter mode k into output planes (VPU)
             for s in range(p):
                 if k == 0:
@@ -120,6 +122,7 @@ def _call(x, vzf, vzb, lamz, gy, gyt, gxT, gxtT, lamyx, shape,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: carry dependency
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lamz, vzf, vzb, x, x, gy, gyt, gxT, gxtT, lamyx)
@@ -129,9 +132,13 @@ class FDMSlabKernel:
     """Host-side wrapper: builds per-window z-tables from the folded global
     transforms and exposes apply(grid) -> grid."""
 
-    def __init__(self, asm):
+    def __init__(self, asm, transform_dtype=jnp.float32):
         """asm: a structured ASMPreconditioner with global_fdm built
-        (element-centric, overlap 1, non-periodic, dim 3, f32)."""
+        (element-centric, overlap 1, non-periodic, dim 3, f32).
+
+        transform_dtype=bfloat16 stores the y/x transform matrices in bf16
+        (single-pass MXU; the smoother is a preconditioner, the reference runs
+        its MG levels in float anyway)."""
         dofs = asm.dofs
         mesh = dofs.mesh
         if (mesh.dim != 3 or asm.n_overlap != 1
@@ -166,11 +173,13 @@ class FDMSlabKernel:
         def padr(M, rows):
             return np.pad(M, ((0, rows - M.shape[0]), (0, 0)))
 
+        tdt = transform_dtype
         self.args = (
             jnp.asarray(vzf), jnp.asarray(vzb),
             jnp.asarray(lz.reshape(n_win, m)),
-            jnp.asarray(padc(Gy, nyp)), jnp.asarray(padr(Gyt, nyp)),
-            jnp.asarray(padr(Gx.T, nxp)), jnp.asarray(padc(Gxt.T, nxp)),
+            jnp.asarray(padc(Gy, nyp), tdt), jnp.asarray(padr(Gyt, nyp), tdt),
+            jnp.asarray(padr(Gx.T, nxp), tdt),
+            jnp.asarray(padc(Gxt.T, nxp), tdt),
             jnp.asarray(ly[:, None] + lx[None, :]),
         )
         self.shape = (nzp, nyp, nxp, m, p, n_win)

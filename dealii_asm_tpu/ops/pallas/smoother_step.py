@@ -1,0 +1,322 @@
+"""Pallas TPU kernel: fully-fused Schwarz smoother step  x' = x + ω·P⁻¹(b−Ax).
+
+One kernel application = one Richardson step with the FDM overlap-1 additive
+Schwarz preconditioner on a Cartesian/anisotropic mesh: the residual
+(sum-factorized Laplace), the six FDM eigen-transforms, the eigenvalue scale,
+weighting, and the vector update all happen on z-slabs resident in VMEM —
+the TPU analog of the reference's fused cell loop + pre/post vector-operation
+ranges (/root/reference/include/matrix_free.h:1007-1364, :420-532;
+matrix_free_internal.h:297-364).
+
+Pipeline (grid step i; stages communicate through VMEM plane rings):
+  P-stage  (planes p·i .. p·i+p−1, while they exist):
+      P1 = M̂y M̂x x,   P2 = K̂y M̂x x + M̂y K̂x x
+      x-direction banded on the VPU (2p+1 diagonal rolls), y-direction dense
+      matmuls on the MXU; depth-4 plane ring.
+  A-stage  (rows of z-row-block w2 = i−2): banded-z contraction of 3p ring
+      planes (VPU, SMEM row tables) -> r = b − Az, depth-2 ring.
+  F-stage  (z-window w = i−3): the fdm_slab algebra on the completed r window
+      (VPU z-transforms, dense folded y/x transforms on the MXU), then
+      out = x + ω·(FDM result), with a carry plane for the one-plane window
+      overlap; a final cleanup step flushes the last carry.
+
+x and b are front-padded by 3 blocks (3p planes) so all block index maps stay
+non-negative; the output is front-padded the same way and sliced by the
+wrapper.  All tables fold the Dirichlet masks / multiplicity weights
+host-side (free-mask separability: Z = Fz⊗Fy⊗Fx, so ZAZ folds per axis).
+
+Restrictions: dim == 3, element overlap 1, non-periodic, f32, Cartesian.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _band_x(plane, d_ref, n_diag: int):
+    """Banded 1D apply along lanes: out[i] = Σ_off d[off+p][i]·plane[i+off].
+
+    Wrapped lanes are killed by zeros in the diagonal tables."""
+    acc = None
+    nx = plane.shape[-1]
+    p = (n_diag - 1) // 2
+    for k in range(n_diag):
+        shift = (p - k) % nx
+        term = d_ref[k : k + 1, :] * pltpu.roll(plane, shift, 1)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
+            x1_ref, x3_ref, b_ref,
+            dmx_ref, dkx_ref, my_ref, ky_ref,
+            gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
+            out_ref,
+            p1r, p2r, azr, carry,
+            *, m: int, p: int, n_win: int):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    n_diag = 2 * p + 1
+
+    # uninitialized VMEM may hold NaN: zero the rings once (0·NaN would
+    # otherwise leak through the zero-padded row tables)
+    @pl.when(i == 0)
+    def _():
+        p1r[...] = jnp.zeros_like(p1r)
+        p2r[...] = jnp.zeros_like(p2r)
+        azr[...] = jnp.zeros_like(azr)
+        carry[...] = jnp.zeros_like(carry)
+
+    # ---- P-stage: planes p·i .. p·i+p−1 ------------------------------------
+    @pl.when(i <= n_win)
+    def _():
+        slot = i % 4
+        for t in range(p):
+            xpl = x3_ref[t]
+            ax = _band_x(xpl, dmx_ref, n_diag)
+            kx = _band_x(xpl, dkx_ref, n_diag)
+            p1r[slot, t] = jnp.dot(my_ref[:], ax, preferred_element_type=f32)
+            p2r[slot, t] = (
+                jnp.dot(ky_ref[:], ax, preferred_element_type=f32)
+                + jnp.dot(my_ref[:], kx, preferred_element_type=f32))
+
+    # ---- A-stage: residual rows p·(i−2) .. p·(i−2)+p−1 ---------------------
+    @pl.when((i >= 2) & (i <= n_win + 2))
+    def _():
+        w2 = i - 2
+        aslot = i % 2
+        for t in range(p):
+            acc = None
+            for j in range(3 * p):  # ring planes p·w2−p+j, steps i−3..i−1
+                pslot = (i - 3 + j // p) % 4
+                row = j % p
+                term = (kzr_ref[w2, t, j] * p1r[pslot, row]
+                        + mzr_ref[w2, t, j] * p2r[pslot, row])
+                acc = term if acc is None else acc + term
+            azr[aslot, t] = b_ref[t] - acc
+
+    # ---- F-stage: FDM + update on z-window w = i−3 -------------------------
+    @pl.when((i >= 3) & (i <= n_win + 2))
+    def _():
+        w = i - 3
+        cur = i % 2
+        prev = (i + 1) % 2
+        dt = gy_ref.dtype
+        omega = omega_ref[0, 0]
+
+        def r_plane(s):  # r at global plane p·w + s
+            return azr[prev, s] if s < p else azr[cur, 0]
+
+        for k in range(m):
+            T = vzf_ref[w, 0, k] * r_plane(0)
+            for s in range(1, m):
+                T = T + vzf_ref[w, s, k] * r_plane(s)
+            B = jnp.dot(gy_ref[:], T.astype(dt), preferred_element_type=f32)
+            Cq = jnp.dot(B.astype(dt), gxT_ref[:], preferred_element_type=f32)
+            Cq = Cq / (lamyx_ref[:] + lamz_ref[w, k])
+            Y = jnp.dot(gyt_ref[:], Cq.astype(dt), preferred_element_type=f32)
+            Z = jnp.dot(Y.astype(dt), gxtT_ref[:], preferred_element_type=f32)
+            for s in range(p):
+                if k == 0:
+                    out_ref[s] = x1_ref[s] + omega * (vzb_ref[w, s, k] * Z)
+                else:
+                    out_ref[s] += omega * (vzb_ref[w, s, k] * Z)
+            if k == 0:
+                carry[1] = vzb_ref[w, m - 1, k] * Z
+            else:
+                carry[1] += vzb_ref[w, m - 1, k] * Z
+
+        @pl.when(w > 0)
+        def _():
+            out_ref[0] += omega * carry[0]
+
+        carry[0] = carry[1]
+
+    # ---- cleanup: flush the final shared plane (global p·n_win) ------------
+    @pl.when(i == n_win + 3)
+    def _():
+        out_ref[0] = x1_ref[0] + omega_ref[0, 0] * carry[0]
+        for s in range(1, p):
+            out_ref[s] = jnp.zeros_like(out_ref[s])
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def _call(x, b, omega, tables, shape, interpret=False):
+    ny, nx, m, p, n_win = shape
+    (kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
+     gy, gyt, gxT, gxtT, lamyx) = tables
+    kern = functools.partial(_kernel, m=m, p=p, n_win=n_win)
+    blk = (p, ny, nx)
+    nb = n_win + 4  # number of blocks in the padded arrays
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def clamp(f):
+        return lambda i: (jnp.minimum(f(i), nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_win + 4,),
+        in_specs=[
+            smem, smem, smem, smem, smem, smem,  # kzr mzr lamz vzf vzb omega
+            pl.BlockSpec(blk, clamp(lambda i: i),
+                         memory_space=pltpu.VMEM),       # x: F-stage planes
+            pl.BlockSpec(blk, clamp(lambda i: i + 3),
+                         memory_space=pltpu.VMEM),       # x: P-stage planes
+            pl.BlockSpec(blk, clamp(lambda i: i + 1),
+                         memory_space=pltpu.VMEM),       # b: A-stage rows
+            vmem, vmem, vmem, vmem,                      # dmx dkx my ky
+            vmem, vmem, vmem, vmem, vmem,                # gy gyt gxT gxtT lamyx
+        ],
+        out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, p, ny, nx), jnp.float32),     # P1 ring
+            pltpu.VMEM((4, p, ny, nx), jnp.float32),     # P2 ring
+            pltpu.VMEM((2, p, ny, nx), jnp.float32),     # r ring
+            pltpu.VMEM((2, ny, nx), jnp.float32),        # FDM carry planes
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nb * p, ny, nx), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
+      dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
+
+
+class SmootherStepKernel:
+    """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
+
+    def __init__(self, op, asm, transform_dtype=jnp.float32):
+        dofs = asm.dofs
+        mesh = dofs.mesh
+        if (mesh.dim != 3 or asm.n_overlap != 1
+                or asm.patch_type != "element" or any(mesh.periodic)
+                or asm.global_fdm is None
+                or getattr(op, "coeff", None) is not None):
+            raise ValueError("SmootherStepKernel: unsupported configuration")
+        p = asm.degree
+        m = asm.m
+        n_diag = 2 * p + 1
+        n_win = mesh.n_cells[2]
+        nz, ny, nx = (dofs.nodes_per_dim[2], dofs.nodes_per_dim[1],
+                      dofs.nodes_per_dim[0])
+        nyp = -(-ny // 8) * 8
+        nxp = -(-nx // 128) * 128
+
+        # ---- operator tables (free masks folded on both sides) -------------
+        Mxg = np.asarray(op.M1d_global[0], np.float64)
+        Kxg = np.asarray(op.K1d_global[0], np.float64)
+        Myg = np.asarray(op.M1d_global[1], np.float64)
+        Kyg = np.asarray(op.K1d_global[1], np.float64)
+        Mzg = np.asarray(op.M1d_global[2], np.float64)
+        Kzg = np.asarray(op.K1d_global[2], np.float64)
+
+        def free(n):
+            f = np.ones(n)
+            f[0] = f[-1] = 0.0
+            return f
+
+        fx, fy, fz = free(nx), free(ny), free(nz)
+        Mxf = fx[:, None] * Mxg * fx[None, :]
+        Kxf = fx[:, None] * Kxg * fx[None, :]
+        Myf = fy[:, None] * Myg * fy[None, :]
+        Kyf = fy[:, None] * Kyg * fy[None, :]
+
+        # x-direction banded tables: d[k][i] = M[i, i + k − p], padded lanes
+        dmx = np.zeros((n_diag, nxp), np.float32)
+        dkx = np.zeros((n_diag, nxp), np.float32)
+        rows = np.arange(nx)
+        for k in range(n_diag):
+            cols = rows + k - p
+            okc = (cols >= 0) & (cols < nx)
+            dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
+            dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
+        # y-direction dense (padded)
+        my_m = np.zeros((nyp, nyp), np.float32)
+        ky_m = np.zeros((nyp, nyp), np.float32)
+        my_m[:ny, :ny] = Myf
+        ky_m[:ny, :ny] = Kyf
+        # z-row tables, fz folded both sides: (n_win+1, p, 3p)
+        kzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
+        mzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
+        for w in range(n_win + 1):
+            for t in range(p):
+                r_ = w * p + t
+                if r_ >= nz:
+                    continue
+                for j in range(3 * p):
+                    c_ = w * p - p + j
+                    if 0 <= c_ < nz and abs(c_ - r_) <= p:
+                        kzr[w, t, j] = Kzg[r_, c_]
+                        mzr[w, t, j] = Mzg[r_, c_]
+                kzr[w, t] *= fz[r_]
+                mzr[w, t] *= fz[r_]
+        # input-side fz: columns c_ = 0 and nz−1
+        for w in range(n_win + 1):
+            for j in range(3 * p):
+                c_ = w * p - p + j
+                if c_ == 0 or c_ == nz - 1:
+                    kzr[w, :, j] = 0.0
+                    mzr[w, :, j] = 0.0
+
+        # ---- FDM tables (same folding as FDMSlabKernel) ---------------------
+        Gs, Gts, lams = asm.global_fdm
+        Gx, Gy, Gz = (np.asarray(G, np.float32) for G in Gs)
+        Gxt, Gyt, Gzt = (np.asarray(G, np.float32) for G in Gts)
+        lx, ly, lz = (np.asarray(l, np.float32).reshape(-1) for l in lams)
+        vzf = np.zeros((n_win, m, m), np.float32)
+        vzb = np.zeros((n_win, m, m), np.float32)
+        for w in range(n_win):
+            vzf[w] = Gz[w * m : (w + 1) * m, w * p : w * p + m].T
+            vzb[w] = Gzt[w * p : w * p + m, w * m : (w + 1) * m]
+
+        def padc(M, cols):
+            return np.pad(M, ((0, 0), (0, cols - M.shape[1])))
+
+        def padr(M, rows_):
+            return np.pad(M, ((0, rows_ - M.shape[0]), (0, 0)))
+
+        tdt = transform_dtype
+        self.tables = (
+            jnp.asarray(kzr), jnp.asarray(mzr),
+            jnp.asarray(lz.reshape(n_win, m)),
+            jnp.asarray(vzf), jnp.asarray(vzb),
+            jnp.asarray(dmx), jnp.asarray(dkx),
+            jnp.asarray(my_m), jnp.asarray(ky_m),
+            jnp.asarray(padc(Gy, nyp), tdt), jnp.asarray(padr(Gyt, nyp), tdt),
+            jnp.asarray(padr(Gx.T, nxp), tdt),
+            jnp.asarray(padc(Gxt.T, nxp), tdt),
+            jnp.asarray(ly[:, None] + lx[None, :]),
+        )
+        self.shape = (nyp, nxp, m, p, n_win)
+        self.grid_shape = (nz, ny, nx)
+        self.p = p
+        # x/b front-padded by 3 blocks; total (n_win+4) blocks
+        self._pad = ((3 * p, (n_win + 4) * p - nz - 3 * p),
+                     (0, nyp - ny), (0, nxp - nx))
+
+    def step_grids(self, xg, bg, omega=1.0, interpret=False):
+        xp = jnp.pad(xg.astype(jnp.float32), self._pad)
+        bp = jnp.pad(bg.astype(jnp.float32), self._pad)
+        om = jnp.full((1, 1), omega, jnp.float32)
+        out = _call(xp, bp, om, self.tables, self.shape, interpret=interpret)
+        nz, ny, nx = self.grid_shape
+        return out[3 * self.p : 3 * self.p + nz, :ny, :nx]
+
+    def step(self, x_flat, b_flat, omega=1.0, interpret=False):
+        nz, ny, nx = self.grid_shape
+        return self.step_grids(x_flat.reshape(nz, ny, nx),
+                               b_flat.reshape(nz, ny, nx), omega,
+                               interpret).reshape(-1)

@@ -65,3 +65,29 @@ def test_unsupported_configs_raise():
                             dtype=jnp.float32)
     with pytest.raises(ValueError):
         FDMSlabKernel(asm)
+
+
+class TestSmootherStepKernel:
+    @pytest.mark.parametrize("cells,p,wt,om", [
+        ((4, 4, 4), 2, "symm", 1.0),
+        ((4, 3, 5), 3, "symm", 0.8),
+        ((3, 4, 2), 2, "post", 1.0),
+        ((2, 3, 4), 4, "pre", 0.9),
+    ])
+    def test_matches_composed_step(self, cells, p, wt, om):
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op = LaplaceOperator(dofs, dtype=jnp.float32)
+        asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type=wt,
+                                dtype=jnp.float32)
+        k = SmootherStepKernel(op, asm)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        ref = np.asarray(x + om * asm.vmult(b - op.vmult(x)))
+        out = np.asarray(k.step(x, b, om, interpret=True))
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 3e-2
