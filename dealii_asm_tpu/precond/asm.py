@@ -154,9 +154,10 @@ class ASMPreconditioner:
         self.n_dofs = n
         self.constrained = jnp.asarray(mask)
         self.grid_shape = tuple(reversed(dofs.nodes_per_dim))
-        # element patches use lattice window access; vertex patches (one patch
-        # per interior vertex, not per cell) keep the gather path for now
-        self.access = "lattice" if patch_type == "element" else "gather"
+        # both patch kinds are strided lattice windows: element windows start
+        # at c·p−(o−1) with stride p; vertex-star windows (size 2p−1) start at
+        # v·p+1 — the same global-transform algebra applies to either
+        self.access = "lattice"
 
         # weights
         valid = np.asarray(idx) < n
@@ -185,9 +186,7 @@ class ASMPreconditioner:
         # matrices for direction d depend only on the cell's d-coordinate, so
         # the eigen-transforms become per-coordinate batched matmuls on the
         # interleaved window layout (no per-cell table gather at all)
-        self.percoord = None
-        if patch_type == "element":
-            self.percoord = self._try_percoord(np.asarray(coll.ids))
+        self.percoord = self._try_percoord(np.asarray(coll.ids))
 
         # dense local inverses: P⁻¹_patch = S·diag(1/Σλ)·Sᵀ materialized as an
         # (L, L) matrix per unique boundary pattern (≤3^dim patterns on
@@ -217,13 +216,19 @@ class ASMPreconditioner:
                 V, lam = self.percoord[d]
                 G = fdm_direction_transform(
                     np.asarray(V), dofs.nodes_per_dim[d], p, n_overlap,
-                    mesh.periodic[d])
+                    mesh.periodic[d], patch=patch_type)
                 free_d, w_d = self._axis_free_and_weight(d)
                 Gs.append(jnp.asarray(G * (free_d * w_d**a_in)[None, :], dtype))
                 Gts.append(jnp.asarray(
                     (G * (free_d * w_d**a_out)[None, :]).T, dtype))
                 lams.append(jnp.asarray(np.asarray(lam).reshape(-1), dtype))
             self.global_fdm = (Gs, Gts, lams)
+
+        # vertex patches without the separable fast path (RAS coloring or a
+        # non-factoring mesh) fall back to the index-gather apply; the element
+        # fallback paths below use element window geometry only
+        if patch_type == "vertex" and self.global_fdm is None:
+            self.access = "gather"
 
         self._vmult = jax.jit(self._vmult_impl)
 
@@ -252,19 +257,29 @@ class ASMPreconditioner:
             groups.append((jnp.asarray(rows), jnp.asarray(mats[u], self.dtype)))
         return jnp.asarray(mats[base], self.dtype), groups
 
+    def _axis_window_starts(self, d: int):
+        """Window start nodes along direction d for this patch kind."""
+        mesh = self.dofs.mesh
+        p = self.degree
+        if self.patch_type == "element":
+            return [c * p - (self.n_overlap - 1)
+                    for c in range(mesh.n_cells[d])]
+        if mesh.periodic[d]:
+            return [v * p - (p - 1) for v in range(mesh.n_cells[d])]
+        return [v * p + 1 for v in range(mesh.n_cells[d] - 1)]
+
     def _axis_free_and_weight(self, d: int):
         """Per-axis free mask and 1D multiplicity weight (weights = ⊗_d w_d)."""
         dofs = self.dofs
         N = dofs.nodes_per_dim[d]
-        p = self.degree
         free = np.ones(N)
         if not dofs.mesh.periodic[d]:
             free[0] = free[-1] = 0.0
         # per-axis window count of each node
         counts = np.zeros(N)
-        for c in range(dofs.mesh.n_cells[d]):
+        for start in self._axis_window_starts(d):
             for s in range(self.m):
-                n = c * p + s - (self.n_overlap - 1)
+                n = start + s
                 if dofs.mesh.periodic[d]:
                     n %= N
                 elif n < 0 or n >= N:
@@ -286,15 +301,23 @@ class ASMPreconditioner:
     def _try_percoord(self, ids: np.ndarray):
         mesh = self.dofs.mesh
         dim = self.dim
-        cells_zyx = tuple(reversed(mesh.n_cells))
+        if self.patch_type == "element":
+            per_dim = mesh.n_cells
+        else:
+            per_dim = tuple(
+                mesh.n_cells[d] if mesh.periodic[d] else mesh.n_cells[d] - 1
+                for d in range(dim))
+        if int(np.prod(per_dim)) != ids.shape[0]:
+            return None
+        shape_zyx = tuple(reversed(per_dim))
         out = []
         for d in range(dim):
             a = dim - 1 - d  # grid axis of direction d
-            ids3 = ids[:, d].reshape(cells_zyx)
-            ids1 = np.moveaxis(ids3, a, 0).reshape(mesh.n_cells[d], -1)
+            ids3 = ids[:, d].reshape(shape_zyx)
+            ids1 = np.moveaxis(ids3, a, 0).reshape(per_dim[d], -1)
             if not (ids1 == ids1[:, :1]).all():
                 return None
-            coord_ids = ids1[:, 0]  # (C_d,)
+            coord_ids = ids1[:, 0]  # (W_d,)
             V = np.asarray(self.collection.eigvecs[d])[coord_ids]
             lam = np.asarray(self.collection.eigvals[d])[coord_ids]
             out.append((jnp.asarray(V, self.dtype), jnp.asarray(lam, self.dtype)))
