@@ -3,8 +3,12 @@
 Runs on whatever jax.devices() provides (the real TPU chip under the driver).
 Problem: the reference's headline configuration (BASELINE.md) — 3D Q4,
 64^3 cells = 16,974,593 DoFs — one fused smoother step
-(vmult + patch gather + batched FDM transforms + weighted scatter),
-best-of-N timing, printed as ONE JSON line.
+x' = x + P⁻¹(b − A x) (vmult + FDM patch transforms + weighted update),
+executed by the fully-fused Pallas slab kernel (ops/pallas/smoother_step.py)
+with the XLA composition as fallback.  Steps are chained inside ONE jitted
+program (the production V-cycle shape) and timing forces a device fetch —
+block_until_ready under-synchronizes through remote-execution tunnels, and
+per-dispatch overhead (~5.6 ms measured) would otherwise dominate.
 
 vs_baseline: the reference's 40-rank "gold" node does CG+FDM(symm, ov1, k=1)
 on this problem in 0.237 s / 5 iterations (data.pdf Table 1); each iteration
@@ -36,29 +40,40 @@ def main():
     op = LaplaceOperator(dofs, dtype=dtype)
     asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm", dtype=dtype)
 
-    @jax.jit
-    def fused_step(x, b):
-        r = b - op.vmult_traceable(x)
-        return x + asm.vmult_traceable(r)
+    try:
+        from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+
+        kern = SmootherStepKernel(op, asm)
+
+        def step(x, b):
+            return kern.step(x, b)
+    except Exception:  # pallas unavailable -> XLA composition
+        def step(x, b):
+            return x + asm.vmult_traceable(b - op.vmult_traceable(x))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
     b = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
 
-    # warm-up / compile
-    x = fused_step(x, b)
-    _ = float(x[0])  # forced fetch: block_until_ready may under-synchronize
-    # through remote-execution tunnels
+    REP = 20
 
-    n_rep = 10
+    @jax.jit
+    def many(x, b):
+        for _ in range(REP):
+            x = step(x, b)
+        return x
+
+    # warm-up / compile; forced fetch (block_until_ready may under-synchronize
+    # through remote-execution tunnels)
+    x = many(x, b)
+    _ = float(x[0])
+
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        y = x
-        for _ in range(n_rep):
-            y = fused_step(y, b)
+        y = many(x, b)
         _ = float(y[0])
-        best = min(best, (time.perf_counter() - t0) / n_rep)
+        best = min(best, (time.perf_counter() - t0) / REP)
 
     gdofs = dofs.n_dofs / best / 1e9
     print(json.dumps({

@@ -228,3 +228,54 @@ def _tensor_gradient(N: np.ndarray, D: np.ndarray, dim: int) -> np.ndarray:
             m = np.kron(m, D if e == d else N)
         mats.append(m)
     return np.stack(mats, axis=2)  # (nq^dim, nl^dim, dim)
+
+
+def create_mesh_from_cells(mesh: StructuredMesh, cell_ids) -> "object":
+    """Standalone UnstructuredMesh from a cell subset of a structured mesh.
+
+    Rebuilds create_mesh_from_cells (/root/reference/include/grid_generator.h:
+    9-103): vertices are the (transformed) physical corner positions of the
+    selected cells, renumbered consecutively; cell connectivity is preserved.
+    """
+    from .unstructured import UnstructuredMesh, _VERTEX_COORDS
+
+    mi = mesh.cell_multi_index()[np.asarray(cell_ids)]  # (Cs, dim)
+    dim = mesh.dim
+    vc = _VERTEX_COORDS[dim]
+    corners = mi[:, None, :] + vc[None, :, :]  # (Cs, 2^dim, dim) lattice coords
+    flat = corners.reshape(-1, dim)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    h = mesh.h
+    pts = np.asarray(mesh.origin)[None, :] + uniq * h[None, :]
+    if mesh.transform is not None:
+        pts = np.asarray(mesh.transform(pts))
+    cells = inv.reshape(corners.shape[:2])
+    return UnstructuredMesh(dim, pts.astype(np.float64),
+                           cells.astype(np.int64))
+
+
+def patch_submesh(mesh: StructuredMesh, cell_id: int) -> tuple:
+    """The 3^dim surrounding-cell patch of ``cell_id`` as an exact offset
+    StructuredMesh (same transform, shifted origin/box).
+
+    Returns (submesh, lower_extent) where lower_extent[d] ∈ {0, 1} says
+    whether the lower neighbor exists (extract_all_surrounding_cells_cartesian
+    analog, /root/reference/include/grid_tools.h:199-289, for the structured
+    case — periodic wrap is not folded in: periodic axes always have both
+    neighbors and use the wrapped geometry, which is identical for uniform h).
+    """
+    mi = mesh.cell_multi_index()[cell_id]
+    h = mesh.h
+    lo = []
+    n_sub = []
+    for d in range(mesh.dim):
+        has_l = mesh.periodic[d] or mi[d] > 0
+        has_r = mesh.periodic[d] or mi[d] < mesh.n_cells[d] - 1
+        lo.append(1 if has_l else 0)
+        n_sub.append(1 + (1 if has_l else 0) + (1 if has_r else 0))
+    origin = tuple(mesh.origin[d] + (mi[d] - lo[d]) * h[d]
+                   for d in range(mesh.dim))
+    lengths = tuple(n_sub[d] * h[d] for d in range(mesh.dim))
+    sub = StructuredMesh(mesh.dim, tuple(n_sub), lengths=lengths,
+                         origin=origin, transform=mesh.transform)
+    return sub, tuple(lo)

@@ -196,6 +196,65 @@ class RestrictedPreconditioner:
         return self.vmult(src)
 
 
+def _submesh_blocks(op, n_overlap: int, approximation: str = "none"):
+    """Patch blocks re-assembled on extracted sub-meshes — the TRUE
+    SubMeshMatrixView (/root/reference/include/preconditioners.h:607-723).
+
+    For each cell, the 3^dim surrounding-cell patch is an exact offset
+    StructuredMesh (same transform); the raw (Neumann) Laplace is assembled on
+    it and the principal submatrix on the overlap window taken — zero
+    Dirichlet outside the window, as the reference's sub-mesh assembly gives.
+    Differs from global-matrix extraction for overlap ≥ 2 (second-ring cell
+    contributions at window-boundary DoFs are excluded).  Deduplicated by
+    (neighbor pattern) on uniform meshes with no transform; otherwise per cell.
+    """
+    from ..fem.dofs import DofHandler
+    from ..fem.assemble import assemble_laplace, assemble_laplace_iso_q1
+    from ..mesh.grid import patch_submesh
+
+    mesh = op.dofs.mesh
+    p = op.degree
+    o = n_overlap
+    m = p - 1 + 2 * o
+    dim = mesh.dim
+    C = mesh.n_cells_total
+    blocks = np.zeros((C, m**dim, m**dim))
+    cache: dict = {}
+    for c in range(C):
+        sub, lo = patch_submesh(mesh, c)
+        key = (sub.n_cells, lo) if mesh.transform is None else None
+        if key is not None and key in cache:
+            blocks[c] = cache[key]
+            continue
+        sub_dofs = DofHandler(sub, p)
+        if approximation in ("", "none"):
+            A = assemble_laplace(sub_dofs, constrained="raw").toarray()
+        else:
+            A = assemble_laplace_iso_q1(sub_dofs, points=approximation,
+                                        constrained="raw").toarray()
+        # window slot -> sub-mesh node (per axis): local = lo·p − (o−1) + s
+        per_axis = []
+        for d in range(dim):
+            N_sub = sub_dofs.nodes_per_dim[d]
+            ids = np.array([lo[d] * p - (o - 1) + s for s in range(m)])
+            valid = (ids >= 0) & (ids < N_sub)
+            per_axis.append((np.clip(ids, 0, N_sub - 1), valid))
+        strides = np.cumprod([1] + list(sub_dofs.nodes_per_dim[:-1]))
+        win = np.zeros(m**dim, dtype=np.int64)
+        ok = np.ones(m**dim, dtype=bool)
+        for d in range(dim):
+            sel = np.tile(np.repeat(np.arange(m), m**d), m ** (dim - 1 - d))
+            win += per_axis[d][0][sel] * strides[d]
+            ok &= per_axis[d][1][sel]
+        B = np.eye(m**dim)
+        vv = np.where(ok)[0]
+        B[np.ix_(vv, vv)] = A[np.ix_(win[vv], win[vv])]
+        blocks[c] = B
+        if key is not None:
+            cache[key] = B
+    return blocks
+
+
 def _approximated_matrix(op, approximation: str):
     from ..fem.assemble import assemble_laplace, assemble_laplace_iso_q1
 
@@ -218,8 +277,20 @@ def create_block_preconditioner(op, params: dict, log=lambda *_: None):
     approximation = get_param(params, "matrix approximation", "none")
 
     restrictor = Restrictor(op.dofs, n_overlap, weighting, restriction_type)
-    A = _approximated_matrix(op, approximation)
-    blocks = _extract_blocks(A, restrictor.indices, op.dofs.n_dofs)
+    if ptype == "SubMeshPreconditioner" and restriction_type == "element":
+        # true sub-mesh re-assembly (preconditioners.h:607-723), not global
+        # matrix extraction
+        blocks = _submesh_blocks(op, n_overlap, approximation)
+        # decouple slots the restrictor masked out (constrained global DoFs)
+        n = op.dofs.n_dofs
+        for c in range(blocks.shape[0]):
+            bad = np.where(restrictor.indices[c] >= n)[0]
+            blocks[c][bad, :] = 0.0
+            blocks[c][:, bad] = 0.0
+            blocks[c][bad, bad] = 1.0
+    else:
+        A = _approximated_matrix(op, approximation)
+        blocks = _extract_blocks(A, restrictor.indices, op.dofs.n_dofs)
 
     if ptype in ("AdditiveSchwarzPreconditioner", "SubMeshPreconditioner"):
         solver = BlockInverse(blocks, op.dtype)

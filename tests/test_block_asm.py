@@ -95,3 +95,54 @@ def test_vertex_restrictor_interior_only():
     n = dofs.n_dofs
     ids = r.indices[r.indices < n]
     assert not dofs.boundary_mask[ids].any()
+
+
+class TestSubMeshReassembly:
+    """True sub-mesh block re-assembly (preconditioners.h:607-723 analog)."""
+
+    def test_submesh_equals_extraction(self):
+        # all coupling cells of an overlap<=p window lie inside the 3^dim
+        # patch, so sub-mesh assembly must reproduce global-matrix extraction
+        from dealii_asm_tpu.precond.block_asm import create_block_preconditioner
+
+        mesh = StructuredMesh(3, (4, 4, 4))
+        dofs = DofHandler(mesh, 3)
+        op = LaplaceOperator(dofs, dtype=jnp.float64)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(dofs.n_dofs))
+        for o in (1, 2):
+            p1 = create_block_preconditioner(
+                op, {"type": "SubMeshPreconditioner", "n overlap": o,
+                     "weighting type": "symm"})
+            p2 = create_block_preconditioner(
+                op, {"type": "AdditiveSchwarzPreconditioner", "n overlap": o,
+                     "weighting type": "symm"})
+            a = np.asarray(p1.vmult(x))
+            b = np.asarray(p2.vmult(x))
+            np.testing.assert_allclose(a, b, atol=1e-12 * np.abs(b).max())
+
+    def test_submesh_deformed_mesh(self):
+        # on a deformed mesh the sub-meshes carry the transform exactly
+        from dealii_asm_tpu.mesh.transforms import kershaw_transform
+        from dealii_asm_tpu.precond.block_asm import create_block_preconditioner
+        from dealii_asm_tpu.solvers.krylov import solve as ksolve
+
+        mesh = StructuredMesh(3, (3, 3, 3), transform=kershaw_transform(0.6, 0.6))
+        dofs = DofHandler(mesh, 2)
+        op = LaplaceOperator(dofs, dtype=jnp.float64)
+        p1 = create_block_preconditioner(
+            op, {"type": "SubMeshPreconditioner", "n overlap": 1,
+                 "weighting type": "symm"})
+        b = op.assemble_rhs(lambda pts: np.ones(pts.shape[0]))
+        r = ksolve("CG", op.vmult, b, M=p1.vmult, max_iterations=100,
+                   rel_tolerance=1e-8)
+        assert r.converged and r.n_iterations < 60
+
+    def test_create_mesh_from_cells(self):
+        from dealii_asm_tpu.mesh.grid import create_mesh_from_cells
+
+        mesh = StructuredMesh(3, (4, 4, 4))
+        sub = create_mesh_from_cells(mesh, [0, 1, 4, 5])
+        assert sub.n_cells_total == 4
+        assert sub.n_vertices == 18
+        J = sub.jacobians(1, np.array([0.5]))
+        assert (np.linalg.det(J) > 0).all()
