@@ -22,9 +22,16 @@ from ..fem.dofs import DofHandler
 
 class DomainPreconditioner:
     def __init__(self, dofs: DofHandler, n_subdomains: int = 2,
-                 n_halo_layers: int = 1, weighting_type: str = "symm"):
+                 n_halo_layers: int = 1, weighting_type: str = "symm",
+                 inner_solver: str = "direct", inner_reduction: float = 1e-8):
+        """inner_solver "direct" = sparse LU per subdomain (the reference's
+        TrilinosWrappers::SolverDirect path); "amg-cg" = diagonally smoothed
+        CG to ``inner_reduction`` standing in for the inner AMG option
+        (preconditioners.h:27-127 takes an arbitrary inner preconditioner)."""
         self.dofs = dofs
         self.weighting_type = weighting_type
+        self.inner_solver = inner_solver
+        self.inner_reduction = inner_reduction
         mesh = dofs.mesh
         dim = mesh.dim
         A = assemble_laplace(dofs).tocsc()
@@ -46,8 +53,18 @@ class DomainPreconditioner:
             cells = np.where((mi[:, axis] >= lo) & (mi[:, axis] < hi))[0]
             ids = np.unique(cd[cells].reshape(-1))
             ids = ids[~dofs.boundary_mask[ids]]
-            lu = spla.splu(A[np.ix_(ids, ids)].tocsc())
-            self.blocks.append((ids, lu))
+            Ab = A[np.ix_(ids, ids)].tocsc()
+            if inner_solver == "direct":
+                solver = spla.splu(Ab).solve
+            else:  # inexact inner solve (AMG stand-in)
+                def solver(rhs, Ab=Ab):
+                    d = Ab.diagonal()
+                    M = spla.LinearOperator(Ab.shape,
+                                            matvec=lambda v: v / d)
+                    x, _ = spla.cg(Ab, rhs, rtol=self.inner_reduction,
+                                   maxiter=500, M=M)
+                    return x
+            self.blocks.append((ids, solver))
             counts[ids] += 1.0
         counts[counts == 0] = 1.0
         w = 1.0 / counts
@@ -61,8 +78,8 @@ class DomainPreconditioner:
         if self.weighting_type in ("pre", "symm"):
             x = x * self.w
         dst = np.zeros_like(x)
-        for ids, lu in self.blocks:
-            dst[ids] += lu.solve(x[ids])
+        for ids, solve in self.blocks:
+            dst[ids] += solve(x[ids])
         if self.weighting_type in ("post", "symm"):
             dst = dst * self.w
         return jnp.asarray(dst, src.dtype)

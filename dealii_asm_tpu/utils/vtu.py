@@ -68,3 +68,45 @@ def write_vtu(path: str, dofs, point_data: dict):
             np.savetxt(f, np.asarray(data).reshape(-1, 1), fmt="%.10g")
             f.write("</DataArray>\n")
         f.write("</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
+def write_vtu_mesh(path: str, mesh, cell_data: dict | None = None):
+    """Write a mesh (StructuredMesh or UnstructuredMesh) as a .vtu of its
+    cells — the mesh-gallery output of the reference's mesh_types_*.cc."""
+    from ..mesh.unstructured import UnstructuredMesh, _VERTEX_COORDS
+
+    if not isinstance(mesh, UnstructuredMesh):
+        from ..mesh.grid import create_mesh_from_cells
+
+        mesh = create_mesh_from_cells(mesh, np.arange(mesh.n_cells_total))
+    dim = mesh.dim
+    pts3 = np.zeros((mesh.n_vertices, 3))
+    pts3[:, :dim] = mesh.vertices
+    # lexicographic -> VTK vertex order
+    perm = [0, 1, 3, 2] if dim == 2 else [0, 1, 3, 2, 4, 5, 7, 6]
+    cells = mesh.cells[:, perm]
+    ctype, npts = (9, 4) if dim == 2 else (12, 8)
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+        f.write(f'<Piece NumberOfPoints="{mesh.n_vertices}" '
+                f'NumberOfCells="{len(cells)}">\n')
+        f.write('<Points><DataArray type="Float64" NumberOfComponents="3" '
+                'format="ascii">\n')
+        np.savetxt(f, pts3, fmt="%.10g")
+        f.write("</DataArray></Points>\n<Cells>\n")
+        f.write('<DataArray type="Int64" Name="connectivity" format="ascii">\n')
+        np.savetxt(f, np.asarray(cells, dtype=np.int64), fmt="%d")
+        f.write('</DataArray>\n<DataArray type="Int64" Name="offsets" '
+                'format="ascii">\n')
+        np.savetxt(f, np.arange(1, len(cells) + 1) * npts, fmt="%d")
+        f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
+                'format="ascii">\n')
+        np.savetxt(f, np.full(len(cells), ctype, dtype=np.uint8), fmt="%d")
+        f.write("</DataArray>\n</Cells>\n<CellData>\n")
+        for name, data in (cell_data or {}).items():
+            f.write(f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
+            np.savetxt(f, np.asarray(data).reshape(-1, 1), fmt="%.10g")
+            f.write("</DataArray>\n")
+        f.write("</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
