@@ -315,18 +315,27 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         if mtv > 0:
             kwargs["restart"] = mtv - 2
 
-    # P8 fast path: the f64 outer Krylov is software-emulated on TPU (~50x an
-    # f32 apply), so above a size threshold "auto" dispatches the
-    # mixed-precision iterative-refinement solver — f32 MG-preconditioned
-    # inner solves, f64 only for the true residuals (solvers/refinement.py).
-    # Small (golden-parity) runs keep the reference's exact algorithm: all-f64
-    # Krylov over the float-level MG.
+    # P8 policy: the reference architecture is a DOUBLE outer Krylov over
+    # FLOAT MG levels (element_centered_preconditioners_01.cc:780-792) —
+    # the krylov_solve dispatch below with the f32-level Multigrid behind a
+    # PrecisionAdapter IS that architecture (f64 vmult is software-emulated
+    # on TPU, ~70x an f32 apply, but only the outer iteration pays it).
+    # Iterative refinement (solvers/refinement.py) moves even the outer work
+    # to f32, but only contracts while κ(A)·relerr(A32) < 1; the f32
+    # operator's smooth-mode cancellation floor (eps32/h²) breaks that at
+    # large κ — measured: 17M-DoF Q4 stalls at ~4e-4 true residual.  "auto"
+    # therefore uses refinement only below a conditioning threshold;
+    # "mixed precision solve": true forces it.
     mp_solve = get_param(params, "mixed precision solve", "auto")
+    # crude conditioning proxy: nodes per direction ~ n^(1/dim); refinement is
+    # safe while eps32/h² · κ_margin stays below the target reduction
+    n_1d = dofs.n_dofs ** (1.0 / family.dim)
+    refinement_safe = n_1d <= 80.0
     use_refinement = (
         mg_inner is not None and solver_type in ("CG", "GMRES")
         and (mp_solve is True
              or (mp_solve == "auto" and dtype == jnp.float64
-                 and dofs.n_dofs > 2_000_000)))
+                 and dofs.n_dofs > 2_000_000 and refinement_safe)))
     if use_refinement:
         from ..solvers.krylov import cg as _cg, gmres as _gmres
         from ..solvers.refinement import refined_solve

@@ -13,6 +13,17 @@ Each cycle multiplies the true residual by the inner reduction (~1e-4), so two
 to three f64 residual evaluations reach 1e-5..1e-12 — versus one f64 vmult and
 five f64 reductions per iteration for the all-f64 CG.
 
+CONVERGENCE LIMIT (measured, 17M-DoF Q4): refinement contracts only while
+κ(A)·relerr(A32) < 1.  The f32 operator's error on smooth modes is the
+cancellation floor eps32/h² (inherent to assembled FEM in single precision —
+the cell-local and global-separable forms measure identical, and the reference
+has the same property in its float operators, which is exactly why its outer
+Krylov runs in double).  At 64³ cells/Q4, κ·relerr ≳ 1 and the true residual
+stalls around 4e-4 relative.  refined_solve detects the stall and stops; the
+driver's "auto" policy therefore uses refinement only below a conditioning
+threshold and otherwise runs the reference architecture (f64 outer Krylov,
+f32 MG preconditioner — models/poisson.py).
+
 Requires JAX_ENABLE_X64 (f64 emulation available); degrades gracefully to a
 plain f32 restarted solve otherwise.
 """
@@ -57,6 +68,12 @@ def refined_solve(A64, A32, b, M32, rel_tolerance=1e-5, abs_tolerance=1e-10,
         outer += 1
         log(f"   - refinement cycle {outer}: true residual {res:.3e} "
             f"({inner.n_iterations} inner its)")
+        if res > 0.5 * history[-2]:
+            # stall: κ(A)·relerr(A32) ≥ 1 — corrections solve the wrong
+            # system; further cycles cannot contract (see module docstring)
+            log("   - refinement stalled (f32 operator accuracy floor);"
+                " aborting")
+            break
     result = SolveResult(x, total_inner, res <= target, history)
     result.outer_cycles = outer
     return result
