@@ -93,14 +93,14 @@ def _make_dofs(family, mesh, degree: int):
     return DofHandler(mesh, degree)
 
 
-def _make_operator(family, dofs, dtype):
+def _make_operator(family, dofs, dtype, mapping_type: str = ""):
     if isinstance(family, GeneralMeshFamily):
         from ..ops.laplace_general import GeneralLaplaceOperator
 
         return GeneralLaplaceOperator(dofs, dtype=dtype)
     return LaplaceOperator(dofs, mapping_degree=family.mapping_degree
                            if family.transform is not None else None,
-                           dtype=dtype)
+                           dtype=dtype, mapping_type=mapping_type)
 
 
 def _make_transfer(family, coarse_dofs, fine_dofs, dtype):
@@ -254,7 +254,8 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     family = make_mesh_family(params, log)
     mesh = family.fine_mesh
     dofs = _make_dofs(family, mesh, fe_degree)
-    op = _make_operator(family, dofs, dtype)
+    mapping_type = get_param(params, "operator mapping type", "")
+    op = _make_operator(family, dofs, dtype, mapping_type)
 
     rhs_name = get_param(params, "rhs", "constant")
     rhs_fn, dbc_fn = make_rhs_and_dbc(rhs_name, family.dim)

@@ -97,7 +97,14 @@ class LaplaceOperator:
         dtype=jnp.float64,
         geometry: GeometryData | None = None,
         kernel: str = "sumfac",
+        mapping_type: str = "",
     ):
+        """mapping_type selects the deformed-geometry REPRESENTATION:
+        "" / "merged" = precomputed symmetric w|J|J⁻¹J⁻ᵀ per q-point
+        (operator.h:1162-1219); "linear geometry" / "quadratic geometry" =
+        per-cell 2^dim / 3^dim mapping support points with Jacobians
+        reconstructed in-trace at each q-point (operator.h:917-1033 /
+        :1036-1159) — ~60x less geometry memory at Q4, more FLOPs."""
         self.dofs = dofs
         self.mesh = dofs.mesh
         self.degree = dofs.degree
@@ -108,6 +115,14 @@ class LaplaceOperator:
         if mapping_degree is None:
             mapping_degree = 1 if self.mesh.transform is None else min(self.degree, 3)
         self.mapping_degree = mapping_degree
+        self.geo_mode = "merged"
+        self.geo_sp = None
+        if (mapping_type in ("linear geometry", "quadratic geometry")
+                and self.mesh.transform is not None):
+            self.geo_mode = ("linear" if mapping_type == "linear geometry"
+                             else "quadratic")
+            mapping_degree = 1 if self.geo_mode == "linear" else 2
+            self.mapping_degree = mapping_degree
 
         geo = geometry or compute_geometry(self.mesh, self.n_q_1d, mapping_degree)
         self.geometry = geo
@@ -184,6 +199,27 @@ class LaplaceOperator:
                                               self.n_q_1d, dofs.nodes_per_dim)
                 self.stable_factors = [
                     [jnp.asarray(E, dtype) for E in row] for row in sf]
+        elif self.geo_mode in ("linear", "quadratic"):
+            # compact geometry: per-cell 2^dim/3^dim mapping support points;
+            # Jacobians reconstructed in-trace at q-points (operator.h:917,
+            # :1036 analogs) — gather path, no q-grid coefficient tensors
+            self.coeff = None
+            from ..fem.lagrange import (
+                gauss_lobatto_points,
+                lagrange_derivatives,
+                lagrange_values,
+            )
+
+            mdeg = self.mapping_degree
+            sp = self.mesh.mapping_support_points(mdeg)  # (C, Lm, dim)
+            self.geo_sp = jnp.asarray(sp, dtype)
+            gll = gauss_lobatto_points(mdeg + 1)
+            Ngeo = lagrange_values(gll, s.q)
+            Dgeo = lagrange_derivatives(gll, s.q)
+            Bgeo = _tensor_gradient(Ngeo, Dgeo, self.dim)  # (Q, Lm, dim)
+            self.gradN_geo = jnp.asarray(Bgeo, dtype)
+            self.quad_w = jnp.asarray(_tensor_weights([s.w] * self.dim), dtype)
+            self.access = "gather"
         else:
             self.coeff = jnp.asarray(geo.coeff, dtype)  # (C, Q, dim, dim)
             # deformed-geometry tensor path: global per-axis value/derivative
@@ -248,7 +284,8 @@ class LaplaceOperator:
     @property
     def constrained(self):
         if self._constrained is None:
-            self._constrained = jnp.asarray(self.dofs.boundary_mask)
+            with jax.ensure_compile_time_eval():  # trace-safe lazy constant
+                self._constrained = jnp.asarray(self.dofs.boundary_mask)
         return self._constrained
 
     def _free_mask(self):
@@ -261,7 +298,8 @@ class LaplaceOperator:
     @property
     def cell_dofs(self):
         if self._cell_dofs is None:
-            self._cell_dofs = jnp.asarray(self.dofs.cell_dofs)
+            with jax.ensure_compile_time_eval():  # trace-safe lazy constant
+                self._cell_dofs = jnp.asarray(self.dofs.cell_dofs)
         return self._cell_dofs
 
     @cell_dofs.setter
@@ -271,7 +309,8 @@ class LaplaceOperator:
     @property
     def B(self):
         if self._B_dev is None:
-            self._B_dev = jnp.asarray(self._B_np, self.dtype)
+            with jax.ensure_compile_time_eval():  # trace-safe lazy constant
+                self._B_dev = jnp.asarray(self._B_np, self.dtype)
         return self._B_dev
 
     @property
@@ -298,6 +337,14 @@ class LaplaceOperator:
 
     def _apply_coefficient(self, g):
         """g (C, Q, dim) reference gradients -> coefficient-scaled (C, Q, dim)."""
+        if self.geo_sp is not None:
+            # in-trace Jacobians from the compact support points;
+            # K[..., e, f] = ∂ξ_f/∂x_e (cofactor transpose, see _small_inv_det)
+            J = jnp.einsum("qld,cle->cqed", self.gradN_geo, self.geo_sp)
+            det, K = _small_inv_det(J, self.dim)
+            sgrad = jnp.einsum("cqef,cqf->cqe", K, g)   # physical gradient
+            t = jnp.einsum("cqed,cqe->cqd", K, sgrad)   # back to reference
+            return t * (self.quad_w[None, :, None] * det[..., None])
         if self.coeff is not None:
             return jnp.einsum("cqde,cqe->cqd", self.coeff, g)
         # cartesian: coeff diag = w_q * prod(h) / h_d^2
@@ -406,8 +453,10 @@ class LaplaceOperator:
                 diag = term if diag is None else diag + term
             diag = jnp.where(self._free_mask(), diag, 1.0)
             return 1.0 / diag
-        if self.coeff is not None:
-            local = jnp.einsum("cqde,qld,qle->cl", self.coeff, self.B, self.B)
+        if self.coeff is not None or self.geo_sp is not None:
+            coeff = (self.coeff if self.coeff is not None
+                     else jnp.asarray(self.geometry.coeff, self.dtype))
+            local = jnp.einsum("cqde,qld,qle->cl", coeff, self.B, self.B)
         else:
             h = self.cell_widths
             detj = jnp.prod(h, axis=1, keepdims=True)
@@ -453,3 +502,34 @@ def _tensor_values(N: np.ndarray, dim: int) -> np.ndarray:
     for _ in range(dim):
         out = np.kron(out, N)
     return out
+
+
+def _small_inv_det(J, dim: int):
+    """(det, K) of (..., dim, dim) Jacobians via cofactors (in-trace).
+
+    J[..., e, d] = ∂x_e/∂ξ_d; returns K[..., e, d] = ∂ξ_d/∂x_e (i.e. the
+    TRANSPOSE of the matrix inverse of J viewed with rows e / cols d)."""
+    if dim == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([
+            jnp.stack([d, -c], axis=-1),
+            jnp.stack([-b, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return det, inv
+    a = J[..., 0, 0]; b = J[..., 0, 1]; c = J[..., 0, 2]
+    d = J[..., 1, 0]; e = J[..., 1, 1]; f = J[..., 1, 2]
+    g_ = J[..., 2, 0]; h = J[..., 2, 1]; i = J[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g_)
+    C = d * h - e * g_
+    det = a * A + b * B + c * C
+    # adjugate transposed into Jinv[d, e] = cof(J)[e, d] / det
+    inv = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([-(b * i - c * h), a * i - c * g_, -(a * h - b * g_)],
+                  axis=-1),
+        jnp.stack([b * f - c * e, -(a * f - c * d), a * e - b * d], axis=-1),
+    ], axis=-2) / det[..., None, None]
+    return det, inv

@@ -291,7 +291,8 @@ class ASMPreconditioner:
     @property
     def patch_idx(self):
         if self._patch_idx_dev is None:
-            self._patch_idx_dev = jnp.asarray(self._patch_idx_np)
+            with jax.ensure_compile_time_eval():  # trace-safe lazy constant
+                self._patch_idx_dev = jnp.asarray(self._patch_idx_np)
         return self._patch_idx_dev
 
     @patch_idx.setter

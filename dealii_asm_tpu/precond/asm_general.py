@@ -30,17 +30,15 @@ class GeneralASMPreconditioner:
     def __init__(self, dofs: GeneralDofHandler, n_overlap: int = 1,
                  weighting_type: str = "post", dtype=jnp.float64,
                  n_q_1d: int | None = None):
-        if n_overlap != 1:
-            raise NotImplementedError(
-                "unstructured patches: overlap 1 only (reference ball configs)")
         if weighting_type not in ("none", "pre", "post", "symm", "ras"):
             raise ValueError(weighting_type)
         self.dofs = dofs
         mesh = dofs.mesh
         self.dim = mesh.dim
         self.degree = p = dofs.degree
-        self.n_overlap = 1
-        self.m = p + 1
+        n_overlap = min(n_overlap, p)
+        self.n_overlap = n_overlap
+        self.m = p - 1 + 2 * n_overlap
         self.weighting_type = weighting_type
         self.dtype = dtype
 
@@ -53,7 +51,8 @@ class GeneralASMPreconditioner:
             h_l, h_c, h_r, hl_flag, hr_flag = key
             bc_l = "internal" if hl_flag else "dirichlet"
             bc_r = "internal" if hr_flag else "dirichlet"
-            return fdm_1d_matrices(p, 1, (h_l, h_c, h_r), bc_l, bc_r, n_q_1d)
+            return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r), bc_l, bc_r,
+                                   n_q_1d)
 
         keys = np.concatenate(
             [np.round(extents, 12), has_l[:, :, None], has_r[:, :, None]],
@@ -61,9 +60,16 @@ class GeneralASMPreconditioner:
         self.collection = _dedup_collection(keys, build)
 
         n = dofs.n_dofs
-        idx = dofs.cell_dofs.astype(np.int64)
         mask = dofs.boundary_mask
-        idx = np.where(mask[idx], n, idx)
+        if n_overlap == 1:
+            # overlap-1 element patch == the cell lattice itself
+            idx = dofs.cell_dofs.astype(np.int64)
+            idx = np.where(mask[idx], n, idx)
+        else:
+            from ..fem.general_patches import general_element_patch_indices
+
+            idx = general_element_patch_indices(dofs, n_overlap).astype(
+                np.int64)
         self.patch_idx = jnp.asarray(idx.astype(np.int32))
         self.n_dofs = n
         self.constrained = jnp.asarray(mask)

@@ -151,7 +151,7 @@ def _create_fdm(op, params: dict, log):
         from .asm_general import GeneralASMPreconditioner
 
         p = GeneralASMPreconditioner(
-            op.dofs, n_overlap=min(n_overlap, 1), weighting_type=weighting,
+            op.dofs, n_overlap=n_overlap, weighting_type=weighting,
             dtype=op.dtype)
     else:
         p = ASMPreconditioner(

@@ -260,3 +260,57 @@ class TestBallMultigrid:
         }
         r = run_config(cfg, log=lambda *a: None)
         assert r["converged"] and r["it"] <= 7
+
+
+class TestGeneralOverlapPatches:
+    """Cross-cell overlap patches with rotated frames (dof_tools.h:9-137)."""
+
+    def test_box_patch_positions_exact(self):
+        # every overlap-2 patch slot must land on the exact physical lattice
+        # point of the equivalent structured patch
+        from dealii_asm_tpu.fem.general_patches import (
+            general_element_patch_indices,
+        )
+        from dealii_asm_tpu.fem.lagrange import gauss_lobatto_points
+
+        p, o, nc = 3, 2, 3
+        mesh = box_mesh(3, nc)
+        dh = GeneralDofHandler(mesh, p)
+        idx = general_element_patch_indices(dh, o)
+        gll = gauss_lobatto_points(p + 1)
+        h = 1.0 / nc
+        m = p - 1 + 2 * o
+        lat = np.stack([np.arange(m**3) // m**d % m for d in range(3)],
+                       axis=1) - (o - 1)
+        ci = np.stack(np.meshgrid(*([np.arange(nc)] * 3), indexing="ij"),
+                      axis=-1).reshape(-1, 3)
+        n = dh.n_dofs
+        for c in range(mesh.n_cells_total):
+            for l in range(m**3):
+                gi = idx[c, l]
+                if gi >= n:
+                    continue
+                exp = np.empty(3)
+                for d in range(3):
+                    g1 = ci[c, d] * p + int(lat[l, d])
+                    cell2 = min(max(g1 // p, 0), nc - 1)
+                    exp[d] = (cell2 + gll[g1 - cell2 * p]) * h
+                assert np.abs(dh.points[gi] - exp).max() < 1e-10
+
+    def test_ball_overlap2_converges_better(self):
+        from dealii_asm_tpu.solvers.krylov import solve as ksolve
+
+        mesh = hyper_ball_balanced(2).refine_global(2)
+        dh = GeneralDofHandler(mesh, 3)
+        op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+        b = op.assemble_rhs(lambda x: np.ones(x.shape[0]))
+        its = {}
+        for o in (1, 2):
+            asm = GeneralASMPreconditioner(dh, n_overlap=o,
+                                           weighting_type="symm",
+                                           dtype=jnp.float64)
+            r = ksolve("CG", op.vmult, b, M=asm.vmult, max_iterations=300,
+                       rel_tolerance=1e-6)
+            assert r.converged
+            its[o] = r.n_iterations
+        assert its[2] <= its[1]

@@ -100,3 +100,26 @@ def test_poisson_solution_convergence():
         exact = np.sin(np.pi * pts[:, 0]) * np.sin(np.pi * pts[:, 1]) / np.pi
         errs.append(np.abs(u - exact).max())
     assert errs[1] < errs[0] / 6  # ~p+1 order
+
+
+class TestCompactGeometryVariants:
+    """linear/quadratic geometry representations (operator.h:917-1159)."""
+
+    @pytest.mark.parametrize("mt,mdeg", [("linear geometry", 1),
+                                         ("quadratic geometry", 2)])
+    def test_matches_merged(self, mt, mdeg):
+        from dealii_asm_tpu.mesh.transforms import kershaw_transform
+
+        mesh = StructuredMesh(3, (3, 3, 3),
+                              transform=kershaw_transform(0.5, 0.5))
+        dofs = DofHandler(mesh, 2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(dofs.n_dofs))
+        op_c = LaplaceOperator(dofs, mapping_type=mt, dtype=jnp.float64)
+        op_m = LaplaceOperator(dofs, mapping_degree=mdeg, dtype=jnp.float64)
+        a = np.asarray(op_c.vmult(x))
+        b = np.asarray(op_m.vmult(x))
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-12
+        d1 = np.asarray(op_c.compute_inverse_diagonal())
+        d2 = np.asarray(op_m.compute_inverse_diagonal())
+        np.testing.assert_allclose(d1, d2, rtol=1e-12)
