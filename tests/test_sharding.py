@@ -208,3 +208,36 @@ def test_sharded_mg_iteration_parity(jmesh):
     np.testing.assert_allclose(
         np.asarray(sl_f.unpad(res_sh.x)), np.asarray(res_ref.x),
         rtol=1e-8, atol=1e-10)
+
+
+def test_unstructured_ball_sharded(jmesh):
+    """Gather-path vmult + ASM on the ball under XLA SPMD sharding: sharded
+    DoF vectors must reproduce the single-device result (the unstructured
+    paths have no lattice layout — P1 domain decomposition rides the
+    partitioner's gather/scatter collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dealii_asm_tpu.fem.general_dofs import GeneralDofHandler
+    from dealii_asm_tpu.mesh.unstructured import hyper_ball_balanced
+    from dealii_asm_tpu.ops.laplace_general import GeneralLaplaceOperator
+    from dealii_asm_tpu.precond.asm_general import GeneralASMPreconditioner
+
+    mesh = hyper_ball_balanced(3).refine()
+    dh = GeneralDofHandler(mesh, 2)
+    op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    asm = GeneralASMPreconditioner(dh, weighting_type="symm",
+                                   dtype=jnp.float64)
+    n = dh.n_dofs
+    pad = -n % 8
+    x = _rand(n + pad)
+
+    def step(v):
+        u = v[:n]
+        r = asm.vmult_traceable(op.vmult_traceable(u))
+        return jnp.concatenate([r, jnp.zeros(pad, r.dtype)])
+
+    ref = np.asarray(jax.jit(step)(x))[:n]
+    sh = NamedSharding(jmesh, P(jmesh.axis_names[0]))
+    xs = jax.device_put(x, sh)
+    out = np.asarray(jax.jit(step, in_shardings=sh)(xs))[:n]
+    np.testing.assert_allclose(out, ref, atol=1e-11)
