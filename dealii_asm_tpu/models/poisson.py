@@ -93,22 +93,27 @@ def _make_dofs(family, mesh, degree: int):
     return DofHandler(mesh, degree)
 
 
-def _make_operator(family, dofs, dtype, mapping_type: str = ""):
+def _make_operator(family, dofs, dtype, mapping_type: str = "",
+                   matmul_precision=None):
     if isinstance(family, GeneralMeshFamily):
         from ..ops.laplace_general import GeneralLaplaceOperator
 
-        return GeneralLaplaceOperator(dofs, dtype=dtype)
+        return GeneralLaplaceOperator(dofs, dtype=dtype,
+                                      matmul_precision=matmul_precision)
     return LaplaceOperator(dofs, mapping_degree=family.mapping_degree
                            if family.transform is not None else None,
-                           dtype=dtype, mapping_type=mapping_type)
+                           dtype=dtype, mapping_type=mapping_type,
+                           matmul_precision=matmul_precision)
 
 
-def _make_transfer(family, coarse_dofs, fine_dofs, dtype):
+def _make_transfer(family, coarse_dofs, fine_dofs, dtype, matmul_precision=None):
     if isinstance(family, GeneralMeshFamily):
         from ..ops.transfer_general import GeneralTwoLevelTransfer
 
-        return GeneralTwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype)
-    return TwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype)
+        return GeneralTwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype,
+                                       matmul_precision=matmul_precision)
+    return TwoLevelTransfer(coarse_dofs, fine_dofs, dtype=dtype,
+                            matmul_precision=matmul_precision)
 
 
 def make_mesh_family(params: dict, log=lambda *_: None) -> MeshFamily:
@@ -199,18 +204,23 @@ def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
             break
 
     # build level operators
+    # sub-f64 level arithmetic runs true-f32 dots: the TPU's default
+    # bf16-operand matmuls carry smooth-mode noise amplified ~1/h², which
+    # degrades deep hierarchies (measured: 16 vs 5 CG its at L=6/17M DoF)
+    prec = "highest" if dtype != jnp.float64 else None
     ops = []
     dofs_list = []
     for r, d in levels:
         mesh = family.mesh_at(r)
         dofs = _make_dofs(family, mesh, d)
-        op = _make_operator(family, dofs, dtype)
+        op = _make_operator(family, dofs, dtype, matmul_precision=prec)
         log(f"- Create operator:\n  - n cells:          {mesh.n_cells_total}\n"
             f"  - n dofs:           {dofs.n_dofs}\n")
         dofs_list.append(dofs)
         ops.append(op)
 
-    transfers = [_make_transfer(family, dofs_list[i], dofs_list[i + 1], dtype)
+    transfers = [_make_transfer(family, dofs_list[i], dofs_list[i + 1], dtype,
+                                matmul_precision=prec)
                  for i in range(len(levels) - 1)]
 
     smoother_p = get_child(params, "mg smoother")

@@ -98,6 +98,7 @@ class LaplaceOperator:
         geometry: GeometryData | None = None,
         kernel: str = "sumfac",
         mapping_type: str = "",
+        matmul_precision: str | None = None,
     ):
         """mapping_type selects the deformed-geometry REPRESENTATION:
         "" / "merged" = precomputed symmetric w|J|J⁻¹J⁻ᵀ per q-point
@@ -266,6 +267,12 @@ class LaplaceOperator:
         # computation — lazy (device upload only when actually used)
         self._B_dev = None
 
+        # matmul precision: JAX's TPU default uses bf16 operands, whose
+        # noise is amplified ~1/h² on smooth modes and poisons deep f32 MG
+        # level hierarchies (measured: 16 vs 5 CG its at L=6/17M DoF).  MG
+        # level operators pass "highest" (3-pass true-f32 dots).
+        self.matmul_precision = matmul_precision
+
         # the merged-geometry coefficient tensors are O(n): pass them as jit
         # ARGUMENTS (captured constants ship inside the compile request and
         # overflow remote-compile size limits at scale)
@@ -387,6 +394,12 @@ class LaplaceOperator:
         return v
 
     def _vmult_impl(self, u, coeff6=None):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._vmult_inner(u, coeff6)
+        return self._vmult_inner(u, coeff6)
+
+    def _vmult_inner(self, u, coeff6=None):
         if coeff6 is None or len(coeff6) == 0:
             coeff6 = getattr(self, "coeff6", None)
         if self.access == "lattice":

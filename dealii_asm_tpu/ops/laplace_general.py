@@ -27,7 +27,7 @@ class GeneralLaplaceOperator:
 
     def __init__(self, dofs: GeneralDofHandler, n_q_1d: int | None = None,
                  mapping_degree: int | None = None, dtype=jnp.float64,
-                 kernel: str = "sumfac"):
+                 kernel: str = "sumfac", matmul_precision: str | None = None):
         self.dofs = dofs
         self.mesh = dofs.mesh
         self.degree = dofs.degree
@@ -35,6 +35,7 @@ class GeneralLaplaceOperator:
         self.n_q_1d = n_q_1d or (self.degree + 1)
         self.dtype = dtype
         self.kernel = kernel
+        self.matmul_precision = matmul_precision
         if mapping_degree is None:
             # the reference caps the ball's mapping at 2
             # (element_centered_preconditioners_01.cc:398-401)
@@ -89,6 +90,12 @@ class GeneralLaplaceOperator:
         return integrate_sumfac(t, self.N1, self.D1, self.dim)
 
     def _vmult_impl(self, u, coeff=None):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._vmult_inner(u, coeff)
+        return self._vmult_inner(u, coeff)
+
+    def _vmult_inner(self, u, coeff=None):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         uc = u0[self.cell_dofs]
         v = self.apply_cells(uc, coeff)

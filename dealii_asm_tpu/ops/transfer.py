@@ -34,7 +34,9 @@ def _tensor_apply_all(T: jnp.ndarray, u: jnp.ndarray, dim: int, n_in: int):
 class TwoLevelTransfer:
     """Transfer between a coarse and a fine DofHandler (p- or h-coarsening)."""
 
-    def __init__(self, coarse: DofHandler, fine: DofHandler, dtype=jnp.float64):
+    def __init__(self, coarse: DofHandler, fine: DofHandler, dtype=jnp.float64,
+                 matmul_precision: str | None = None):
+        self.matmul_precision = matmul_precision
         self.coarse = coarse
         self.fine = fine
         self.dim = coarse.mesh.dim
@@ -135,6 +137,12 @@ class TwoLevelTransfer:
         return f.reshape(-1)
 
     def _prolongate_impl(self, u_coarse):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._prolongate_inner(u_coarse)
+        return self._prolongate_inner(u_coarse)
+
+    def _prolongate_inner(self, u_coarse):
         from .tensorops import axis_matmul
 
         # zero constrained coarse rows so restrict == prolongateᵀ exactly
@@ -146,6 +154,12 @@ class TwoLevelTransfer:
         return jnp.where(self._free_mask("fine"), out, 0.0)
 
     def _restrict_impl(self, r_fine):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._restrict_inner(r_fine)
+        return self._restrict_inner(r_fine)
+
+    def _restrict_inner(self, r_fine):
         from .tensorops import axis_matmul
 
         r = jnp.where(self._free_mask("fine"), r_fine, 0.0)

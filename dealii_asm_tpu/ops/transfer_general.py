@@ -26,7 +26,8 @@ class GeneralTwoLevelTransfer:
     """Transfer between a coarse and a fine GeneralDofHandler."""
 
     def __init__(self, coarse: GeneralDofHandler, fine: GeneralDofHandler,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, matmul_precision: str | None = None):
+        self.matmul_precision = matmul_precision
         self.coarse = coarse
         self.fine = fine
         self.dim = dim = coarse.mesh.dim
@@ -118,6 +119,12 @@ class GeneralTwoLevelTransfer:
         return r.reshape(r.shape[0], -1)
 
     def _prolongate_impl(self, u_coarse):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._prolongate_inner(u_coarse)
+        return self._prolongate_inner(u_coarse)
+
+    def _prolongate_inner(self, u_coarse):
         u = jnp.where(self.coarse_constrained, 0.0, u_coarse)
         uc = u[self.coarse_cd]
         vf = self._interp(uc)
@@ -127,6 +134,12 @@ class GeneralTwoLevelTransfer:
         return jnp.where(self.fine_constrained, 0.0, out)
 
     def _restrict_impl(self, r_fine):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._restrict_inner(r_fine)
+        return self._restrict_inner(r_fine)
+
+    def _restrict_inner(self, r_fine):
         r = jnp.where(self.fine_constrained, 0.0, r_fine)
         rw = (r * self.fine_inv_valence)[self.fine_lat]
         vc = self._interp_t(rw)
