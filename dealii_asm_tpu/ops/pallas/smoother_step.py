@@ -59,7 +59,11 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
             out_ref,
             p1r, p2r, azr, carry,
-            *, m: int, p: int, n_win: int):
+            *, m: int, p: int, n_win: int, n_wy: int):
+    # n_wy > 0 selects the windowed-VPU y-transform: gy_ref/gyt_ref then hold
+    # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
+    # the y transforms run as per-window vector broadcasts on reshaped plane
+    # rows (G is block-banded; the MXU wastes ~(ny/m)x FLOPs on its zeros)
     i = pl.program_id(0)
     f32 = jnp.float32
     n_diag = 2 * p + 1
@@ -113,14 +117,56 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
         def r_plane(s):  # r at global plane p·w + s
             return azr[prev, s] if s < p else azr[cur, 0]
 
+        ny = x1_ref.shape[1]
+        nx = x1_ref.shape[2]
+        mx = gxT_ref.shape[1]
+
         for k in range(m):
             T = vzf_ref[w, 0, k] * r_plane(0)
             for s in range(1, m):
                 T = T + vzf_ref[w, s, k] * r_plane(s)
-            B = jnp.dot(gy_ref[:], T.astype(dt), preferred_element_type=f32)
+            if n_wy == 0:
+                B = jnp.dot(gy_ref[:], T.astype(dt),
+                            preferred_element_type=f32)
+            else:
+                r3 = T.reshape(ny // p, p, nx)
+                wins = [r3[:n_wy, s2, :] for s2 in range(p)]
+                wins.append(r3[1 : n_wy + 1, 0, :])
+                cols = []
+                for j in range(m):
+                    acc = gy_ref[0, j] * wins[0]
+                    for s2 in range(1, m):
+                        acc = acc + gy_ref[s2, j] * wins[s2]
+                    cols.append(acc)
+                B = jnp.stack(cols, axis=1).reshape(n_wy * m, nx)
             Cq = jnp.dot(B.astype(dt), gxT_ref[:], preferred_element_type=f32)
             Cq = Cq / (lamyx_ref[:] + lamz_ref[w, k])
-            Y = jnp.dot(gyt_ref[:], Cq.astype(dt), preferred_element_type=f32)
+            if n_wy == 0:
+                Y = jnp.dot(gyt_ref[:], Cq.astype(dt),
+                            preferred_element_type=f32)
+            else:
+                Cq3 = Cq.reshape(n_wy, m, mx)
+                rows = []
+                for s2 in range(p):
+                    acc = gyt_ref[s2, 0] * Cq3[:, 0, :]
+                    for j in range(1, m):
+                        acc = acc + gyt_ref[s2, j] * Cq3[:, j, :]
+                    rows.append(acc)
+                c4 = gyt_ref[p, 0] * Cq3[:, 0, :]
+                for j in range(1, m):
+                    c4 = c4 + gyt_ref[p, j] * Cq3[:, j, :]
+                base = jnp.stack(rows, axis=1).reshape(n_wy * p, mx)
+                zc = jnp.zeros_like(c4)
+                c4p = jnp.stack([c4] + [zc] * (p - 1), axis=1).reshape(
+                    n_wy * p, mx)
+                Ybase = jnp.concatenate(
+                    [base, jnp.zeros((ny - n_wy * p, mx), f32)], axis=0)
+                parts = [jnp.zeros((p, mx), f32), c4p]
+                tail = ny - p - n_wy * p
+                if tail > 0:
+                    parts.append(jnp.zeros((tail, mx), f32))
+                Yc4 = jnp.concatenate(parts, axis=0)[:ny]
+                Y = Ybase + Yc4
             Z = jnp.dot(Y.astype(dt), gxtT_ref[:], preferred_element_type=f32)
             for s in range(p):
                 if k == 0:
@@ -148,10 +194,10 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
 def _call(x, b, omega, tables, shape, interpret=False):
-    ny, nx, m, p, n_win = shape
+    ny, nx, m, p, n_win, n_wy = shape
     (kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
-    kern = functools.partial(_kernel, m=m, p=p, n_win=n_win)
+    kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy)
     blk = (p, ny, nx)
     nb = n_win + 4  # number of blocks in the padded arrays
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -198,7 +244,12 @@ def _call(x, b, omega, tables, shape, interpret=False):
 class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
-    def __init__(self, op, asm, transform_dtype=jnp.float32):
+    def __init__(self, op, asm, transform_dtype=jnp.float32,
+                 fdm_y: str = "windowed"):
+        """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
+        vector broadcasts on reshaped plane rows (the block-banded structure
+        of G — saves ~2.4x of the F-stage MXU FLOPs); "dense" keeps full
+        matmuls."""
         dofs = asm.dofs
         mesh = dofs.mesh
         if (mesh.dim != 3 or asm.n_overlap != 1
@@ -210,9 +261,19 @@ class SmootherStepKernel:
         m = asm.m
         n_diag = 2 * p + 1
         n_win = mesh.n_cells[2]
+        n_cy = mesh.n_cells[1]
         nz, ny, nx = (dofs.nodes_per_dim[2], dofs.nodes_per_dim[1],
                       dofs.nodes_per_dim[0])
-        nyp = -(-ny // 8) * 8
+        if fdm_y == "windowed":
+            # y padded so plane rows reshape into (nyp/p, p) window slots and
+            # the padded window count stays in range
+            cyq = -(-n_cy // 8) * 8
+            lcm = 8 * p // np.gcd(8, p)
+            nyp = -(-max(ny, cyq * p + p) // lcm) * lcm
+            self._n_wy = cyq
+        else:
+            nyp = -(-ny // 8) * 8
+            self._n_wy = 0
         nxp = -(-nx // 128) * 128
 
         # ---- operator tables (free masks folded on both sides) -------------
@@ -289,18 +350,37 @@ class SmootherStepKernel:
             return np.pad(M, ((0, rows_ - M.shape[0]), (0, 0)))
 
         tdt = transform_dtype
+        if self._n_wy:
+            cyq = self._n_wy
+            # per-y-window eigen blocks: Gy[(v,j), v·p+s] = vyf[s,j,v]
+            vyf = np.zeros((m, m, cyq, 1), np.float32)
+            vyb = np.zeros((m, m, cyq, 1), np.float32)
+            for v in range(n_cy):
+                vyf[:, :, v, 0] = Gy[v * m : (v + 1) * m,
+                                     v * p : v * p + m].T
+                vyb[:, :, v, 0] = Gyt[v * p : v * p + m,
+                                      v * m : (v + 1) * m]
+            gy_t = jnp.asarray(vyf)
+            gyt_t = jnp.asarray(vyb)
+            lamy_rows = np.ones(cyq * m, np.float32)
+            lamy_rows[: len(ly)] = ly
+            lamyx_t = jnp.asarray(lamy_rows[:, None] + lx[None, :])
+        else:
+            gy_t = jnp.asarray(padc(Gy, nyp), tdt)
+            gyt_t = jnp.asarray(padr(Gyt, nyp), tdt)
+            lamyx_t = jnp.asarray(ly[:, None] + lx[None, :])
         self.tables = (
             jnp.asarray(kzr), jnp.asarray(mzr),
             jnp.asarray(lz.reshape(n_win, m)),
             jnp.asarray(vzf), jnp.asarray(vzb),
             jnp.asarray(dmx), jnp.asarray(dkx),
             jnp.asarray(my_m), jnp.asarray(ky_m),
-            jnp.asarray(padc(Gy, nyp), tdt), jnp.asarray(padr(Gyt, nyp), tdt),
+            gy_t, gyt_t,
             jnp.asarray(padr(Gx.T, nxp), tdt),
             jnp.asarray(padc(Gxt.T, nxp), tdt),
-            jnp.asarray(ly[:, None] + lx[None, :]),
+            lamyx_t,
         )
-        self.shape = (nyp, nxp, m, p, n_win)
+        self.shape = (nyp, nxp, m, p, n_win, self._n_wy)
         self.grid_shape = (nz, ny, nx)
         self.p = p
         # x/b front-padded by 3 blocks; total (n_win+4) blocks
