@@ -199,23 +199,23 @@ def _call(x, b, omega, tables, shape, interpret=False):
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy)
     blk = (p, ny, nx)
-    nb = n_win + 4  # number of blocks in the padded arrays
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def clamp(f):
-        return lambda i: (jnp.minimum(f(i), nb - 1), 0, 0)
-
+    # index maps are pure affine (the inputs carry 3 extra tail blocks so the
+    # largest offset i+3 stays in range): non-affine maps (clamping) made
+    # Mosaic precompute per-step offsets into SMEM, which overflowed its 1MB
+    # at larger grids
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_win + 4,),
         in_specs=[
             smem, smem, smem, smem, smem, smem,  # kzr mzr lamz vzf vzb omega
-            pl.BlockSpec(blk, clamp(lambda i: i),
+            pl.BlockSpec(blk, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),       # x: F-stage planes
-            pl.BlockSpec(blk, clamp(lambda i: i + 3),
+            pl.BlockSpec(blk, lambda i: (i + 3, 0, 0),
                          memory_space=pltpu.VMEM),       # x: P-stage planes
-            pl.BlockSpec(blk, clamp(lambda i: i + 1),
+            pl.BlockSpec(blk, lambda i: (i + 1, 0, 0),
                          memory_space=pltpu.VMEM),       # b: A-stage rows
             vmem, vmem, vmem, vmem,                      # dmx dkx my ky
             vmem, vmem, vmem, vmem, vmem,                # gy gyt gxT gxtT lamyx
@@ -231,7 +231,7 @@ def _call(x, b, omega, tables, shape, interpret=False):
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((nb * p, ny, nx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(((n_win + 4) * p, ny, nx), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -245,10 +245,12 @@ class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
-                 fdm_y: str = "windowed"):
+                 fdm_y: str = "dense"):
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
         vector broadcasts on reshaped plane rows (the block-banded structure
-        of G — saves ~2.4x of the F-stage MXU FLOPs); "dense" keeps full
+        of G — ~2.4x fewer F-stage MXU FLOPs, but measured SLOWER on v5e:
+        6.8 vs 4.7 ms/step — the VPU broadcasts + stack/concat relayouts cost
+        more than the skipped matmul zeros).  "dense" (default) keeps full
         matmuls."""
         dofs = asm.dofs
         mesh = dofs.mesh
@@ -383,8 +385,9 @@ class SmootherStepKernel:
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy)
         self.grid_shape = (nz, ny, nx)
         self.p = p
-        # x/b front-padded by 3 blocks; total (n_win+4) blocks
-        self._pad = ((3 * p, (n_win + 4) * p - nz - 3 * p),
+        # x/b front-padded by 3 blocks + 3 tail blocks beyond the grid so all
+        # block index maps stay affine: total (n_win+7) blocks
+        self._pad = ((3 * p, (n_win + 7) * p - nz - 3 * p),
                      (0, nyp - ny), (0, nxp - nx))
 
     def step_grids(self, xg, bg, omega=1.0, interpret=False):
