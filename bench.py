@@ -76,11 +76,17 @@ def main():
         best = min(best, (time.perf_counter() - t0) / REP)
 
     gdofs = dofs.n_dofs / best / 1e9
+    # HBM roofline: the algorithmic minimum for one fused step is read x,
+    # read b, write x' (3 vectors); v5e HBM ≈ 819 GB/s.  The measured
+    # fraction is compute-bound (f32 MXU dots), not bandwidth-bound.
+    min_bytes = 3 * dofs.n_dofs * 4
+    roofline_s = min_bytes / 819e9
     print(json.dumps({
         "metric": "Q4 vmult+FDM-ov1 fused smoother step",
         "value": round(gdofs, 3),
         "unit": "GDoF/s",
         "vs_baseline": round(gdofs / BASELINE_GDOFS, 2),
+        "hbm_roofline_frac": round(roofline_s / best, 3),
     }))
 
 

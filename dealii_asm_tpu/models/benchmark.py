@@ -93,7 +93,8 @@ def run_benchmark(params: dict, out=sys.stdout):
     import jax.numpy as jnp
 
     dim = int(get_param(params, "dim", 3))
-    s = int(get_param(params, "n subdivision", 6))
+    s = int(get_param(params, "n subdivisions",
+                  get_param(params, "n subdivision", 6)))
     degree = int(get_param(params, "fe degree", 4))
     n_rep = int(get_param(params, "n repetitions", 10))
     cartesian = get_param(params, "use cartesian mesh", True)

@@ -53,8 +53,8 @@ def _band_x(plane, d_ref, n_diag: int):
     return acc
 
 
-def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
-            x1_ref, x3_ref, b_ref,
+def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
+            omega_ref, x1_ref, x3_ref, b_ref,
             dmx_ref, dkx_ref, my_ref, ky_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
             out_ref,
@@ -94,14 +94,15 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
     @pl.when((i >= 2) & (i <= n_win + 2))
     def _():
         w2 = i - 2
+        ku = kid_ref[w2]
         aslot = i % 2
         for t in range(p):
             acc = None
             for j in range(3 * p):  # ring planes p·w2−p+j, steps i−3..i−1
                 pslot = (i - 3 + j // p) % 4
                 row = j % p
-                term = (kzr_ref[w2, t, j] * p1r[pslot, row]
-                        + mzr_ref[w2, t, j] * p2r[pslot, row])
+                term = (kzr_ref[ku, t, j] * p1r[pslot, row]
+                        + mzr_ref[ku, t, j] * p2r[pslot, row])
                 acc = term if acc is None else acc + term
             azr[aslot, t] = b_ref[t] - acc
 
@@ -109,6 +110,7 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
     @pl.when((i >= 3) & (i <= n_win + 2))
     def _():
         w = i - 3
+        wz = zid_ref[w]
         cur = i % 2
         prev = (i + 1) % 2
         dt = gy_ref.dtype
@@ -122,9 +124,9 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
         mx = gxT_ref.shape[1]
 
         for k in range(m):
-            T = vzf_ref[w, 0, k] * r_plane(0)
+            T = vzf_ref[wz, 0, k] * r_plane(0)
             for s in range(1, m):
-                T = T + vzf_ref[w, s, k] * r_plane(s)
+                T = T + vzf_ref[wz, s, k] * r_plane(s)
             if n_wy == 0:
                 B = jnp.dot(gy_ref[:], T.astype(dt),
                             preferred_element_type=f32)
@@ -140,7 +142,7 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
                     cols.append(acc)
                 B = jnp.stack(cols, axis=1).reshape(n_wy * m, nx)
             Cq = jnp.dot(B.astype(dt), gxT_ref[:], preferred_element_type=f32)
-            Cq = Cq / (lamyx_ref[:] + lamz_ref[w, k])
+            Cq = Cq / (lamyx_ref[:] + lamz_ref[wz, k])
             if n_wy == 0:
                 Y = jnp.dot(gyt_ref[:], Cq.astype(dt),
                             preferred_element_type=f32)
@@ -170,13 +172,13 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
             Z = jnp.dot(Y.astype(dt), gxtT_ref[:], preferred_element_type=f32)
             for s in range(p):
                 if k == 0:
-                    out_ref[s] = x1_ref[s] + omega * (vzb_ref[w, s, k] * Z)
+                    out_ref[s] = x1_ref[s] + omega * (vzb_ref[wz, s, k] * Z)
                 else:
-                    out_ref[s] += omega * (vzb_ref[w, s, k] * Z)
+                    out_ref[s] += omega * (vzb_ref[wz, s, k] * Z)
             if k == 0:
-                carry[1] = vzb_ref[w, m - 1, k] * Z
+                carry[1] = vzb_ref[wz, m - 1, k] * Z
             else:
-                carry[1] += vzb_ref[w, m - 1, k] * Z
+                carry[1] += vzb_ref[wz, m - 1, k] * Z
 
         @pl.when(w > 0)
         def _():
@@ -195,7 +197,7 @@ def _kernel(kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref, omega_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
 def _call(x, b, omega, tables, shape, interpret=False):
     ny, nx, m, p, n_win, n_wy = shape
-    (kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
+    (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy)
     blk = (p, ny, nx)
@@ -210,6 +212,7 @@ def _call(x, b, omega, tables, shape, interpret=False):
         num_scalar_prefetch=0,
         grid=(n_win + 4,),
         in_specs=[
+            smem, smem,                          # kid zid window-type indices
             smem, smem, smem, smem, smem, smem,  # kzr mzr lamz vzf vzb omega
             pl.BlockSpec(blk, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),       # x: F-stage planes
@@ -237,7 +240,7 @@ def _call(x, b, omega, tables, shape, interpret=False):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
+    )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
       dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
 
 
@@ -351,6 +354,32 @@ class SmootherStepKernel:
         def padr(M, rows_):
             return np.pad(M, ((0, rows_ - M.shape[0]), (0, 0)))
 
+        # SMEM stores scalars with heavy per-element padding (~160x measured)
+        # — dedup the per-window tables (uniform meshes have <= 3 unique
+        # window types per direction) and index through small id vectors
+        zkey = np.round(np.concatenate(
+            [vzf.reshape(n_win, -1), vzb.reshape(n_win, -1),
+             lz.reshape(n_win, m)], axis=1), 6)
+        zu, zid = np.unique(zkey, axis=0, return_inverse=True)
+        U = len(zu)
+        vzf_u = np.zeros((U, m, m), np.float32)
+        vzb_u = np.zeros((U, m, m), np.float32)
+        lamz_u = np.zeros((U, m), np.float32)
+        for w in range(n_win):
+            vzf_u[zid[w]] = vzf[w]
+            vzb_u[zid[w]] = vzb[w]
+            lamz_u[zid[w]] = lz.reshape(n_win, m)[w]
+        kkey = np.round(np.concatenate(
+            [kzr.reshape(n_win + 1, -1), mzr.reshape(n_win + 1, -1)],
+            axis=1), 6)
+        ku_, kid = np.unique(kkey, axis=0, return_inverse=True)
+        KU = len(ku_)
+        kzr_u = np.zeros((KU, p, 3 * p), np.float32)
+        mzr_u = np.zeros((KU, p, 3 * p), np.float32)
+        for w in range(n_win + 1):
+            kzr_u[kid[w]] = kzr[w]
+            mzr_u[kid[w]] = mzr[w]
+
         tdt = transform_dtype
         if self._n_wy:
             cyq = self._n_wy
@@ -372,9 +401,10 @@ class SmootherStepKernel:
             gyt_t = jnp.asarray(padr(Gyt, nyp), tdt)
             lamyx_t = jnp.asarray(ly[:, None] + lx[None, :])
         self.tables = (
-            jnp.asarray(kzr), jnp.asarray(mzr),
-            jnp.asarray(lz.reshape(n_win, m)),
-            jnp.asarray(vzf), jnp.asarray(vzb),
+            jnp.asarray(kid.astype(np.int32)), jnp.asarray(zid.astype(np.int32)),
+            jnp.asarray(kzr_u), jnp.asarray(mzr_u),
+            jnp.asarray(lamz_u),
+            jnp.asarray(vzf_u), jnp.asarray(vzb_u),
             jnp.asarray(dmx), jnp.asarray(dkx),
             jnp.asarray(my_m), jnp.asarray(ky_m),
             gy_t, gyt_t,
