@@ -189,6 +189,22 @@ class LaplaceOperator:
                                                 self.n_q_1d)
             self.M1d_global = [jnp.asarray(M, dtype) for M, _ in factors]
             self.K1d_global = [jnp.asarray(K, dtype) for _, K in factors]
+            # banded (diagonal-table) form of the same factors: elementwise
+            # shift-multiply-add applies.  Mandatory for f64 on TPU — dense
+            # f64 matmuls are software-emulated (~10× the cost of emulated
+            # elementwise ops); measured 0.46 s -> ~0.04 s per vmult at 17M.
+            from .tensorops import banded_diagonals
+
+            bw = self.degree
+            self.Mdiags, self.Kdiags, self.band_offsets = [], [], []
+            for d, (M, K) in enumerate(factors):
+                md, offs = banded_diagonals(np.asarray(M), bw,
+                                            self.mesh.periodic[d])
+                kd, _ = banded_diagonals(np.asarray(K), bw,
+                                         self.mesh.periodic[d])
+                self.Mdiags.append(jnp.asarray(md, dtype))
+                self.Kdiags.append(jnp.asarray(kd, dtype))
+                self.band_offsets.append(tuple(offs))
             # gradient-factored alternative form (kernel="stable"): measured
             # to have the SAME low-precision rounding behavior as the
             # Kronecker-sum form (the 1/h cancellation reappears in the
@@ -409,12 +425,26 @@ class LaplaceOperator:
             free = None
             u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
         if self.access == "lattice" and self.coeff is None:
-            from .tensorops import separable_laplace_apply, separable_stable_apply
+            from .tensorops import (
+                separable_laplace_apply,
+                separable_laplace_apply_banded,
+                separable_stable_apply,
+            )
 
             if self.stable_factors is not None:
                 dst = separable_stable_apply(
                     u0.reshape(self.grid_shape), self.stable_factors,
                     self.dim).reshape(-1)
+            elif (self.kernel == "banded"
+                  or np.dtype(self.dtype) == np.float64):
+                # optimization_barrier: with flat in/out, XLA layout
+                # assignment propagates the packed 1D layout through the
+                # roll-mad chain and every roll becomes a relayout (measured
+                # 439 ms vs 96 ms at 17M f64)
+                ob = jax.lax.optimization_barrier
+                dst = ob(separable_laplace_apply_banded(
+                    ob(u0.reshape(self.grid_shape)), self.Mdiags, self.Kdiags,
+                    self.band_offsets, self.dim)).reshape(-1)
             else:
                 dst = separable_laplace_apply(
                     u0.reshape(self.grid_shape), self.M1d_global,

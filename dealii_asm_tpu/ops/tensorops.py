@@ -236,3 +236,69 @@ def fdm_global_apply(x_grid, Gs, Gts, inv_denom, dim: int):
     for d in range(dim):
         t = axis_matmul(t, Gts[d], ax(d))
     return t
+
+
+def banded_offsets(N: int, bandwidth: int, periodic: bool) -> list[int]:
+    """Distinct diagonal offsets of a banded (possibly periodic) N×N matrix.
+
+    Periodic with 2b+1 > N: offsets alias mod N (a roll by off and off±N hit
+    the same column) — enumerate each residue exactly once instead."""
+    if periodic and 2 * bandwidth + 1 > N:
+        return list(range(N))
+    return list(range(-bandwidth, bandwidth + 1))
+
+
+def banded_diagonals(M: np.ndarray, bandwidth: int,
+                     periodic: bool = False):
+    """(diags, offsets): diagonal table of a banded matrix,
+    diags[k][i] = M[i, i+offsets[k]] (periodic: column wraps mod N, matching
+    jnp.roll; non-periodic: zero outside the matrix, killing wrapped lanes)."""
+    N = M.shape[0]
+    offs = banded_offsets(N, bandwidth, periodic)
+    out = np.zeros((len(offs), N))
+    idx = np.arange(N)
+    for k, off in enumerate(offs):
+        cols = idx + off
+        if periodic:
+            out[k] = M[idx, cols % N]
+        else:
+            ok = (cols >= 0) & (cols < N)
+            out[k, idx[ok]] = M[idx[ok], cols[ok]]
+    return out, offs
+
+
+def banded_axis_apply(t, diags, offsets, grid_axis: int):
+    """y = M̂ t along one grid axis with M̂ given by its diagonal table.
+
+    FLOPs are O((2b+1)·N) per point instead of the dense matmul's O(N) — and
+    crucially the work is ELEMENTWISE, so a float64 apply uses the cheap
+    emulated add/mul path instead of emulated matmuls (measured 0.46 s for
+    the dense f64 vmult at 17M DoFs vs ~0.04 s banded)."""
+    nd = t.ndim
+    shape = [1] * nd
+    shape[grid_axis] = t.shape[grid_axis]
+    acc = None
+    for k, off in enumerate(offsets):
+        d = diags[k].reshape(shape)
+        shifted = jnp.roll(t, -off, grid_axis)
+        term = d * shifted
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def separable_laplace_apply_banded(u_grid, Mdiags, Kdiags, offsets, dim: int):
+    """separable_laplace_apply with banded (diagonal-table) axis applies.
+
+    Mdiags/Kdiags[d] = diagonal tables of direction d; offsets[d] their
+    diagonal offsets (per-direction: grid sizes differ)."""
+    ap = lambda t, tab, d: banded_axis_apply(t, tab, offsets[d], dim - 1 - d)
+    if dim == 2:
+        a = ap(u_grid, Mdiags[0], 0)
+        v = ap(a, Kdiags[1], 1) + ap(ap(u_grid, Kdiags[0], 0), Mdiags[1], 1)
+        return v
+    a = ap(u_grid, Mdiags[0], 0)
+    b = ap(a, Mdiags[1], 1)
+    v = ap(b, Kdiags[2], 2)
+    v = v + ap(ap(a, Kdiags[1], 1), Mdiags[2], 2)
+    v = v + ap(ap(ap(u_grid, Kdiags[0], 0), Mdiags[1], 1), Mdiags[2], 2)
+    return v

@@ -123,3 +123,39 @@ class TestCompactGeometryVariants:
         d1 = np.asarray(op_c.compute_inverse_diagonal())
         d2 = np.asarray(op_m.compute_inverse_diagonal())
         np.testing.assert_allclose(d1, d2, rtol=1e-12)
+
+
+class TestBandedApply:
+    """Banded (diagonal-table) separable apply — the f64 outer-matvec path.
+
+    f64 dense matmuls are software-emulated on TPU; the banded form runs
+    elementwise roll-multiply-adds instead (4.8x measured at 17M DoF)."""
+
+    @pytest.mark.parametrize("periodic", [False, True])
+    @pytest.mark.parametrize("dim,cells", [(2, (4, 3)), (3, (3, 4, 2)),
+                                           (3, (2, 2, 2))])  # (2,2,2): band
+    # wider than the periodic grid -> offset aliasing must not double-count
+    def test_matches_dense_assembly(self, periodic, dim, cells):
+        mesh = StructuredMesh(dim, cells,
+                              lengths=tuple(1.0 + 0.3 * i for i in range(dim)),
+                              periodic=(periodic,) * dim)
+        dofs = DofHandler(mesh, 3)
+        A = assemble_laplace(dofs)
+        op = LaplaceOperator(dofs, kernel="banded", dtype=jnp.float64)
+        u = _random_vec(dofs.n_dofs)
+        mask = np.asarray(dofs.boundary_mask)
+        expected = np.asarray(A @ np.where(mask, 0.0, u))
+        expected = np.where(mask, u, expected)  # constrained rows = identity
+        got = np.asarray(op.vmult(jnp.asarray(u)))
+        assert np.allclose(got, expected,
+                           atol=1e-10 * max(1, np.abs(expected).max()))
+
+    def test_f64_defaults_to_banded(self):
+        mesh = StructuredMesh(3, (3, 3, 3))
+        dofs = DofHandler(mesh, 2)
+        op64 = LaplaceOperator(dofs, dtype=jnp.float64)
+        op32 = LaplaceOperator(dofs, dtype=jnp.float32)
+        u = _random_vec(dofs.n_dofs)
+        a = np.asarray(op64.vmult(jnp.asarray(u)))
+        b = np.asarray(op32.vmult(jnp.asarray(u, jnp.float32)))
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
