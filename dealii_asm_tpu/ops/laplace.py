@@ -124,6 +124,12 @@ class LaplaceOperator:
                              else "quadratic")
             mapping_degree = 1 if self.geo_mode == "linear" else 2
             self.mapping_degree = mapping_degree
+        elif mapping_type == "construct q" and self.mesh.transform is not None:
+            # store only the physical quadrature POINTS (dim·Q per cell) and
+            # rebuild Jacobians in-trace by collocation differentiation
+            # (operator.h:1221-1333 analog): J[..., e, d] = D_colloc applied
+            # along reference axis d to coordinate e of the q-point lattice
+            self.geo_mode = "construct_q"
 
         geo = geometry or compute_geometry(self.mesh, self.n_q_1d, mapping_degree)
         self.geometry = geo
@@ -216,6 +222,28 @@ class LaplaceOperator:
                                               self.n_q_1d, dofs.nodes_per_dim)
                 self.stable_factors = [
                     [jnp.asarray(E, dtype) for E in row] for row in sf]
+        elif self.geo_mode == "construct_q":
+            self.coeff = None
+            from ..fem.lagrange import (
+                gauss_lobatto_points,
+                lagrange_derivatives,
+                lagrange_values,
+            )
+
+            # q-points OF THE ISOPARAMETRIC MAPPING (degree m ≤ n_q−1 so the
+            # collocation derivative of their interpolant is EXACT for the
+            # mapping); exact-transform points would make the interpolant a
+            # different — possibly folding — geometry
+            mdeg = min(self.mapping_degree, self.n_q_1d - 1)
+            sp = self.mesh.mapping_support_points(mdeg)  # (C, Lm, dim)
+            gll = gauss_lobatto_points(mdeg + 1)
+            Nt = _tensor_values(lagrange_values(gll, s.q), self.dim)  # (Q, Lm)
+            qp = np.einsum("ql,cld->cqd", Nt, sp)
+            self.geo_qp = jnp.asarray(qp, dtype)  # (C, Q, dim)
+            # collocation derivative on the 1D quadrature points (unit cell)
+            self.Dcol = jnp.asarray(lagrange_derivatives(s.q, s.q), dtype)
+            self.quad_w = jnp.asarray(_tensor_weights([s.w] * self.dim), dtype)
+            self.access = "gather"
         elif self.geo_mode in ("linear", "quadratic"):
             # compact geometry: per-cell 2^dim/3^dim mapping support points;
             # Jacobians reconstructed in-trace at q-points (operator.h:917,
@@ -358,12 +386,29 @@ class LaplaceOperator:
         """t (C, Q, dim) -> v (C, L): v = Σ_d ∫ ∂_d φ · t_d."""
         return integrate_sumfac(t, self.N1, self.D1, self.dim)
 
+    def _construct_q_jacobians(self):
+        """(C, Q, dim, dim) Jacobians from stored physical q-points by
+        collocation differentiation along each reference axis."""
+        q1 = self.n_q_1d
+        qp = self.geo_qp.reshape((-1,) + (q1,) * self.dim + (self.dim,))
+        cols = []
+        for d in range(self.dim):  # reference direction (x first)
+            axis_full = 1 + (self.dim - 1 - d)
+            t = jnp.moveaxis(qp, axis_full, -1)       # (..., dim, q)
+            t = jnp.matmul(t, self.Dcol.T)
+            cols.append(jnp.moveaxis(t, -1, axis_full))
+        J = jnp.stack(cols, axis=-1)  # (C, qz.., dim(e), dim(d))
+        return J.reshape(J.shape[0], -1, self.dim, self.dim)
+
     def _apply_coefficient(self, g):
         """g (C, Q, dim) reference gradients -> coefficient-scaled (C, Q, dim)."""
-        if self.geo_sp is not None:
-            # in-trace Jacobians from the compact support points;
-            # K[..., e, f] = ∂ξ_f/∂x_e (cofactor transpose, see _small_inv_det)
-            J = jnp.einsum("qld,cle->cqed", self.gradN_geo, self.geo_sp)
+        if self.geo_sp is not None or self.geo_mode == "construct_q":
+            if self.geo_mode == "construct_q":
+                J = self._construct_q_jacobians()
+            else:
+                # in-trace Jacobians from the compact support points;
+                # K[..., e, f] = ∂ξ_f/∂x_e (cofactor transpose, _small_inv_det)
+                J = jnp.einsum("qld,cle->cqed", self.gradN_geo, self.geo_sp)
             det, K = _small_inv_det(J, self.dim)
             sgrad = jnp.einsum("cqef,cqf->cqe", K, g)   # physical gradient
             t = jnp.einsum("cqed,cqe->cqd", K, sgrad)   # back to reference
@@ -496,7 +541,8 @@ class LaplaceOperator:
                 diag = term if diag is None else diag + term
             diag = jnp.where(self._free_mask(), diag, 1.0)
             return 1.0 / diag
-        if self.coeff is not None or self.geo_sp is not None:
+        if (self.coeff is not None or self.geo_sp is not None
+                or self.geo_mode == "construct_q"):
             coeff = (self.coeff if self.coeff is not None
                      else jnp.asarray(self.geometry.coeff, self.dtype))
             local = jnp.einsum("cqde,qld,qle->cl", coeff, self.B, self.B)

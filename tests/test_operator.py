@@ -106,7 +106,8 @@ class TestCompactGeometryVariants:
     """linear/quadratic geometry representations (operator.h:917-1159)."""
 
     @pytest.mark.parametrize("mt,mdeg", [("linear geometry", 1),
-                                         ("quadratic geometry", 2)])
+                                         ("quadratic geometry", 2),
+                                         ("construct q", 2)])
     def test_matches_merged(self, mt, mdeg):
         from dealii_asm_tpu.mesh.transforms import kershaw_transform
 
