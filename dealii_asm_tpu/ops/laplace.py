@@ -284,6 +284,14 @@ class LaplaceOperator:
                 self.Ed.append(jnp.asarray(Ed, dtype))
                 self.Evt.append(jnp.asarray(Ev.T, dtype))
                 self.Edt.append(jnp.asarray(Ed.T, dtype))
+            # small shared per-cell transforms for the window-form apply
+            # (f64 outer path): (q, p+1) value/derivative matrices
+            self.Nq_small = jnp.asarray(s0.N, dtype)
+            self.NqT_small = jnp.asarray(s0.N.T, dtype)
+            self.Dq_small = [jnp.asarray(s0.D / self.mesh.h[d], dtype)
+                             for d in range(self.dim)]
+            self.DqT_small = [jnp.asarray((s0.D / self.mesh.h[d]).T, dtype)
+                              for d in range(self.dim)]
             # coefficient on the q-grid, symmetric-packed; the merged coeff is
             # in REFERENCE gradients, while Ed above differentiates in box
             # coords (∂ξ = h·∂box) — scale accordingly: C_box = h_d C_ref h_e
@@ -495,11 +503,31 @@ class LaplaceOperator:
                     u0.reshape(self.grid_shape), self.M1d_global,
                     self.K1d_global, self.dim).reshape(-1)
         elif self.access == "lattice":
-            from .tensorops import merged_laplace_apply
+            from .tensorops import (
+                merged_laplace_apply,
+                merged_laplace_apply_windowed,
+            )
 
-            dst = merged_laplace_apply(
-                u0.reshape(self.grid_shape), self.Ev, self.Ed, self.Evt,
-                self.Edt, coeff6, self.dim).reshape(-1)
+            if self.kernel == "banded" or np.dtype(self.dtype) == np.float64:
+                # window form: small shared transforms lower to cheap
+                # elementwise passes under f64 emulation (global dense
+                # E-matmuls are emulated f64 GEMMs, ~8x slower)
+                qn = self.n_q_1d
+                cells_zyx = tuple(reversed(self.mesh.n_cells))
+                ishape = (cells_zyx[0], qn, cells_zyx[1], qn, cells_zyx[2], qn
+                          ) if self.dim == 3 else (
+                              cells_zyx[0], qn, cells_zyx[1], qn)
+                c6i = [c.reshape(ishape) for c in coeff6]
+                ob = jax.lax.optimization_barrier
+                dst = ob(merged_laplace_apply_windowed(
+                    ob(u0.reshape(self.grid_shape)), self.Nq_small,
+                    self.Dq_small, self.NqT_small, self.DqT_small, c6i,
+                    self.mesh.n_cells, self.degree, self.mesh.periodic,
+                    self.dim)).reshape(-1)
+            else:
+                dst = merged_laplace_apply(
+                    u0.reshape(self.grid_shape), self.Ev, self.Ed, self.Evt,
+                    self.Edt, coeff6, self.dim).reshape(-1)
         else:
             uc = u0[self.cell_dofs]  # (C, L)
             v = self.apply_cells(uc)

@@ -302,3 +302,54 @@ def separable_laplace_apply_banded(u_grid, Mdiags, Kdiags, offsets, dim: int):
     v = v + ap(ap(a, Kdiags[1], 1), Mdiags[2], 2)
     v = v + ap(ap(ap(u_grid, Kdiags[0], 0), Mdiags[1], 1), Mdiags[2], 2)
     return v
+
+
+def merged_laplace_apply_windowed(u_grid, Nq, Dq, NqT, DqT, coeff6i,
+                                  n_cells, degree: int, periodic, dim: int):
+    """Deformed-geometry Laplace apply in window form: small shared per-cell
+    transforms instead of global dense interp matrices.
+
+    The global E_d matmul has inner dimension N_d; in window form the same
+    contraction is (…, p+1)·(p+1, q) — ~N/(p+1)× fewer FLOPs, and small
+    enough that XLA's f64 emulation lowers it to cheap elementwise passes
+    (the f64 outer-Krylov path on deformed meshes; cf. the banded Cartesian
+    form).  Nq/Dq: (q, p+1) value/derivative (Dq pre-scaled 1/h_d per
+    direction); coeff6i: symmetric coefficients on the INTERLEAVED q-grid
+    (Cz, q, Cy, q, Cx, q)."""
+    from .lattice import apply_axis_shared as ap
+    from .lattice import grid_to_windows, windows_to_grid
+
+    m = degree + 1
+    w = grid_to_windows(u_grid, n_cells, degree, m, 1, periodic)
+    mx = lambda d: 2 * (dim - 1 - d) + 1  # m-axis of direction d
+    if dim == 2:
+        a = ap(w, mx(0), Nq)
+        d1 = ap(w, mx(0), Dq[0])
+        gy = ap(a, mx(1), Dq[1])
+        gx = ap(d1, mx(1), Nq)
+        cxx, cyy, cxy = coeff6i
+        tx = cxx * gx + cxy * gy
+        ty = cxy * gx + cyy * gy
+        r = ap(ap(ty, mx(1), DqT[1]), mx(0), NqT)
+        r = r + ap(ap(tx, mx(1), NqT), mx(0), DqT[0])
+    else:
+        a = ap(w, mx(0), Nq)       # x values
+        d1 = ap(w, mx(0), Dq[0])   # x derivatives
+        b = ap(a, mx(1), Nq)
+        c_ = ap(a, mx(1), Dq[1])
+        e = ap(d1, mx(1), Nq)
+        gz = ap(b, mx(2), Dq[2])
+        gy = ap(c_, mx(2), Nq)
+        gx = ap(e, mx(2), Nq)
+        cxx, cyy, czz, cxy, cxz, cyz = coeff6i
+        tx = cxx * gx + cxy * gy + cxz * gz
+        ty = cxy * gx + cyy * gy + cyz * gz
+        tz = cxz * gx + cyz * gy + czz * gz
+        w1 = ap(tz, mx(2), DqT[2])
+        w2 = ap(ty, mx(2), NqT)
+        w3 = ap(tx, mx(2), NqT)
+        r12 = ap(w1, mx(1), NqT) + ap(w2, mx(1), DqT[1])
+        r3 = ap(w3, mx(1), NqT)
+        r = ap(r12, mx(0), NqT) + ap(r3, mx(0), DqT[0])
+    grid_shape = u_grid.shape
+    return windows_to_grid(r, grid_shape, degree, 1, periodic)
