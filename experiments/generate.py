@@ -225,6 +225,74 @@ def gen_large_scaling(w, d=3, variants=("diag", "fdm1", "fdm2", "fdmv"),
             w.write(cfg)
 
 
+def _mfl_base(degree, subdivisions, labels, n_rep=10):
+    return {
+        "dim": 3,
+        "n subdivision": subdivisions,
+        "fe degree": degree,
+        "n repetitions": n_rep,
+        "use cartesian mesh": True,
+        "number type": "float32",
+        "preconditioner types": " ".join(labels),
+    }
+
+
+# (degree, subdivisions) ladder keeping n_dofs roughly constant
+# (matrix_free_loop_08_degree.py:24; our balanced cube uses the same s)
+_MFL_LADDER = [(2, 45), (3, 44), (4, 40), (5, 39), (6, 38), (7, 36)]
+
+
+def gen_mfl_degree(w, *_):
+    """Kernel-throughput sweep over fe degree (matrix_free_loop_08_degree.py);
+    run with python -m dealii_asm_tpu.models.benchmark input_NNNN.json."""
+    labels = ["vmult", "symm-1-c", "symm-2-g-p-n", "symm-v-c"]
+    for k, s in _MFL_LADDER:
+        w.write(_mfl_base(k, s, labels))
+
+
+def gen_mfl_cheby(w, *_):
+    """Chebyshev-wrapped smoother sweep (matrix_free_loop_08_cheby.py)."""
+    labels = ["cheby-3-0-diag", "cheby-3-3-diag",
+              "cheby-3-0-symm-1-c", "cheby-3-2-symm-1-c",
+              "cheby-3-0-symm-2-g-p-n", "cheby-3-2-symm-2-g-p-n",
+              "cheby-3-0-symm-v-c", "cheby-3-2-symm-v-c"]
+    for k, s in _MFL_LADDER:
+        w.write(_mfl_base(k, s, labels))
+
+
+def gen_mfl_cheby_degree(w, *_):
+    """Chebyshev-degree sweep at fixed size
+    (matrix_free_loop_08_cheby_degree.py)."""
+    for deg in range(1, 6):
+        labels = [f"cheby-{deg}-0-diag", f"cheby-{deg}-2-diag",
+                  f"cheby-{deg}-0-symm-1-c", f"cheby-{deg}-2-symm-1-c"]
+        w.write(_mfl_base(4, 40, labels))
+
+
+def gen_mfl_sequence(w, *_):
+    """Weight-sequence × overlap × weighting-mode matrix
+    (matrix_free_loop_08_sequence.py's predicate table)."""
+    labels = []
+    for k in ["1", "2", "v"]:
+        for seq in ["c", "l", "dg", "g-s-c", "g-s-n", "g-p-c", "g-p-n"]:
+            for op in ["add", "none", "post", "pre", "symm"]:
+                ok = False
+                if k in ("1", "v") and seq == "c" and op in ("post", "pre",
+                                                             "symm"):
+                    ok = True
+                elif seq in ("l", "dg") and op in ("post", "pre", "symm"):
+                    ok = True
+                elif seq in ("g-s-c", "g-p-c") and op in ("pre", "symm"):
+                    ok = True
+                elif seq == "g-s-n" and op in ("none", "post", "pre", "symm"):
+                    ok = True
+                elif seq == "g-p-n":
+                    ok = True
+                if ok:
+                    labels.append(f"{op}-{k}-{seq}")
+    w.write(_mfl_base(4, 40, labels))
+
+
 FAMILIES = {
     "anisotropy": gen_anisotropy,
     "cartesian": gen_cartesian,
@@ -232,6 +300,10 @@ FAMILIES = {
     "fdm_vs_asm": gen_fdm_vs_asm,
     "multigrid_cheby_degree": gen_multigrid_cheby_degree,
     "large-scaling": gen_large_scaling,
+    "mfl_degree": gen_mfl_degree,
+    "mfl_cheby": gen_mfl_cheby,
+    "mfl_cheby_degree": gen_mfl_cheby_degree,
+    "mfl_sequence": gen_mfl_sequence,
 }
 
 
