@@ -127,7 +127,13 @@ def create_system_preconditioner(op, params: dict, log=_noop_log):
         log(f"    - degree: {degree}")
         log(f"    - min ev: {ev.min_eigenvalue_estimate:g}")
         log(f"    - max ev: {ev.max_eigenvalue_estimate:g}")
-        log(f"    - omega:  {2.0 / (ev.min_eigenvalue_estimate + ev.max_eigenvalue_estimate):g}\n")
+        log(f"    - omega:  {2.0 / (ev.min_eigenvalue_estimate + ev.max_eigenvalue_estimate):g}")
+        # deviation note (the contract the golden suite enforces): estimates
+        # use deal.II's i%11 start vector, but our lexicographic DoF numbering
+        # permutes it, so values differ from the reference's by ~2-4%;
+        # iteration counts are exact (see tests/test_golden_suite.py)
+        log("    - (ev estimates are start-vector-ordering dependent;"
+            " iteration counts are the pinned contract)\n")
         cheb.is_symmetric = sym
         return cheb
 
