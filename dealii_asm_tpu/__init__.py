@@ -17,3 +17,11 @@ Reference: /root/reference (peterrum/dealii-asm); see SURVEY.md for the layer ma
 """
 
 __version__ = "0.1.0"
+
+import sys as _sys
+
+# tracing a Pallas kernel nested inside the whole-V-cycle jit (recursive
+# level descent × jit trace × pl.when cond traces) exceeds CPython's default
+# 1000-frame recursion limit
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)

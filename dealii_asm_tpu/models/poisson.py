@@ -1,12 +1,11 @@
 """JSON-config-driven Poisson solver — the main driver.
 
 Rebuilds /root/reference/element_centered_preconditioners_01.cc: config schema,
-mesh families (hypercube, symmetric hypercube, anisotropy, kershaw(-mp)),
-rhs functions, operator, preconditioner construction (including the Multigrid
-branch with h/p/hp/ph level layouts and intermediate-level split,
-:508-749), Krylov solve with ReductionControl, and the org-mode convergence
-table.  The hyperball family needs genuinely unstructured patches and is
-deferred (SURVEY.md §7 step 9).
+mesh families (hypercube, symmetric hypercube, anisotropy, kershaw(-mp),
+hyperball), rhs functions, operator, preconditioner construction (including
+the Multigrid branch with h/p/hp/ph level layouts and intermediate-level
+split, :508-749), Krylov solve with ReductionControl, and the org-mode
+convergence table.
 """
 
 from __future__ import annotations

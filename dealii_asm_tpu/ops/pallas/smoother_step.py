@@ -39,6 +39,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot(a, b):
+    """True-f32 MXU dot: default Mosaic precision is bf16-operand class,
+    whose noise is amplified ~1/h² on smooth modes and (as in the XLA MG
+    levels, see matmul_precision="highest" there) degrades CG+MG parity —
+    measured 8 vs 5 outer iterations at 2.1M DoFs with default-precision
+    kernel dots."""
+    return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+
 def _band_x(plane, d_ref, n_diag: int):
     """Banded 1D apply along lanes: out[i] = Σ_off d[off+p][i]·plane[i+off].
 
@@ -85,10 +95,10 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             xpl = x3_ref[t]
             ax = _band_x(xpl, dmx_ref, n_diag)
             kx = _band_x(xpl, dkx_ref, n_diag)
-            p1r[slot, t] = jnp.dot(my_ref[:], ax, preferred_element_type=f32)
+            p1r[slot, t] = _dot(my_ref[:], ax)
             p2r[slot, t] = (
-                jnp.dot(ky_ref[:], ax, preferred_element_type=f32)
-                + jnp.dot(my_ref[:], kx, preferred_element_type=f32))
+                _dot(ky_ref[:], ax)
+                + _dot(my_ref[:], kx))
 
     # ---- A-stage: residual rows p·(i−2) .. p·(i−2)+p−1 ---------------------
     @pl.when((i >= 2) & (i <= n_win + 2))
@@ -128,8 +138,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             for s in range(1, m):
                 T = T + vzf_ref[wz, s, k] * r_plane(s)
             if n_wy == 0:
-                B = jnp.dot(gy_ref[:], T.astype(dt),
-                            preferred_element_type=f32)
+                B = _dot(gy_ref[:], T.astype(dt))
             else:
                 r3 = T.reshape(ny // p, p, nx)
                 wins = [r3[:n_wy, s2, :] for s2 in range(p)]
@@ -141,11 +150,10 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                         acc = acc + gy_ref[s2, j] * wins[s2]
                     cols.append(acc)
                 B = jnp.stack(cols, axis=1).reshape(n_wy * m, nx)
-            Cq = jnp.dot(B.astype(dt), gxT_ref[:], preferred_element_type=f32)
+            Cq = _dot(B.astype(dt), gxT_ref[:])
             Cq = Cq / (lamyx_ref[:] + lamz_ref[wz, k])
             if n_wy == 0:
-                Y = jnp.dot(gyt_ref[:], Cq.astype(dt),
-                            preferred_element_type=f32)
+                Y = _dot(gyt_ref[:], Cq.astype(dt))
             else:
                 Cq3 = Cq.reshape(n_wy, m, mx)
                 rows = []
@@ -169,7 +177,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                     parts.append(jnp.zeros((tail, mx), f32))
                 Yc4 = jnp.concatenate(parts, axis=0)[:ny]
                 Y = Ybase + Yc4
-            Z = jnp.dot(Y.astype(dt), gxtT_ref[:], preferred_element_type=f32)
+            Z = _dot(Y.astype(dt), gxtT_ref[:])
             for s in range(p):
                 if k == 0:
                     out_ref[s] = x1_ref[s] + omega * (vzb_ref[wz, s, k] * Z)
@@ -232,16 +240,23 @@ def _call(x, b, omega, tables, shape, interpret=False):
             pltpu.VMEM((2, ny, nx), jnp.float32),        # FDM carry planes
         ],
     )
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(((n_win + 4) * p, ny, nx), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
-      dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
+    # trace the kernel with x64 promotion OFF regardless of the caller's
+    # config: under jax_enable_x64 the body's int scalars promote to 64 bit
+    # and Mosaic's convert-element-type lowering rule recurses forever
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(((n_win + 4) * p, ny, nx),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
+          dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
 
 
 class SmootherStepKernel:

@@ -48,6 +48,31 @@ def _noop_log(msg=""):
     pass
 
 
+def _try_attach_fused_step(smoother, op, inner, log=_noop_log):
+    """Attach the fully-fused Pallas smoother-step kernel when eligible.
+
+    Eligible: TPU backend, f32 structured Cartesian operator, element ov-1 FDM
+    inner preconditioner, problem big enough to matter (the kernel is the
+    production fine-level path; tiny coarse levels keep the XLA composition).
+    """
+    import jax
+
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return
+        if not isinstance(inner, ASMPreconditioner):
+            return
+        if np.dtype(op.dtype) != np.float32 or op.n_dofs < 100_000:
+            return
+        from ..ops.pallas.smoother_step import SmootherStepKernel
+
+        kern = SmootherStepKernel(op, inner)
+    except Exception:
+        return
+    smoother.fused_step = lambda x, b, om: kern.step(x, b, om)
+    log("    - fused step:  pallas\n")
+
+
 def create_system_preconditioner(op, params: dict, log=_noop_log):
     """Return a preconditioner object with .vmult (and .is_symmetric)."""
     ptype = params.get("type", "")
@@ -108,6 +133,7 @@ def create_system_preconditioner(op, params: dict, log=_noop_log):
             log(f"    - max ev: {rel.eigenvalues.max_eigenvalue_estimate:g}")
         log(f"    - omega:  {rel.omega:g}\n")
         rel.is_symmetric = sym
+        _try_attach_fused_step(rel, op, inner, log)
         return rel
 
     if ptype == "Chebyshev":
@@ -135,6 +161,8 @@ def create_system_preconditioner(op, params: dict, log=_noop_log):
         log("    - (ev estimates are start-vector-ordering dependent;"
             " iteration counts are the pinned contract)\n")
         cheb.is_symmetric = sym
+        if cheb.degree == 1:
+            _try_attach_fused_step(cheb, op, inner, log)
         return cheb
 
     raise ValueError(f"Preconditioner <{ptype}> is not known!")

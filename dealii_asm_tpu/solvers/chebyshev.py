@@ -128,11 +128,18 @@ class ChebyshevPreconditioner:
         self.alpha, self.beta_range = alpha, mx
         self.theta = (mx + alpha) / 2.0
         self.delta = (mx - alpha) / 2.0
+        # optional fully-fused step kernel: callable (x, b, omega) computing
+        # x + omega·M(b − A x) in ONE pass (ops/pallas/smoother_step.py);
+        # exact for degree 1 (both polynomial kinds are then single weighted
+        # Richardson steps) — attached by the factory when eligible
+        self.fused_step = None
 
     # -- first kind ----------------------------------------------------------
 
     def _first_kind(self, x, b):
         theta, delta = self.theta, self.delta
+        if self.degree == 1 and self.fused_step is not None:
+            return self.fused_step(x, b, 1.0 / theta)
         r = b - self.A(x)
         p = self.M(r) * (1.0 / theta)
         x = x + p
@@ -151,6 +158,8 @@ class ChebyshevPreconditioner:
 
     def _fourth_kind(self, x, b):
         lam = self.beta_range
+        if self.degree == 1 and self.fused_step is not None:
+            return self.fused_step(x, b, 4.0 / (3.0 * lam))
         r = b - self.A(x)
         d = self.M(r) * (4.0 / (3.0 * lam))
         for k in range(1, self.degree):
@@ -202,13 +211,23 @@ class RelaxationPreconditioner:
         else:
             self.eigenvalues = eigenvalues
         self.omega = omega
+        self.fused_step = None  # see ChebyshevPreconditioner.fused_step
 
     def step(self, x, b):
+        if self.fused_step is not None:
+            for _ in range(self.n_iterations):
+                x = self.fused_step(x, b, self.omega)
+            return x
         for _ in range(self.n_iterations):
             x = x + self.omega * self.M(b - self.A(x))
         return x
 
     def vmult(self, b):
+        if self.fused_step is not None:
+            x = jnp.zeros_like(b)
+            for _ in range(self.n_iterations):
+                x = self.fused_step(x, b, self.omega)
+            return x
         x = self.omega * self.M(b)
         for _ in range(1, self.n_iterations):
             x = x + self.omega * self.M(b - self.A(x))
