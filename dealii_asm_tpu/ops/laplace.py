@@ -497,7 +497,8 @@ class LaplaceOperator:
                 ob = jax.lax.optimization_barrier
                 dst = ob(separable_laplace_apply_banded(
                     ob(u0.reshape(self.grid_shape)), self.Mdiags, self.Kdiags,
-                    self.band_offsets, self.dim)).reshape(-1)
+                    self.band_offsets, self.dim,
+                    self.mesh.periodic)).reshape(-1)
             else:
                 dst = separable_laplace_apply(
                     u0.reshape(self.grid_shape), self.M1d_global,

@@ -267,31 +267,49 @@ def banded_diagonals(M: np.ndarray, bandwidth: int,
     return out, offs
 
 
-def banded_axis_apply(t, diags, offsets, grid_axis: int):
+def banded_axis_apply(t, diags, offsets, grid_axis: int,
+                      periodic: bool = False):
     """y = M̂ t along one grid axis with M̂ given by its diagonal table.
 
     FLOPs are O((2b+1)·N) per point instead of the dense matmul's O(N) — and
     crucially the work is ELEMENTWISE, so a float64 apply uses the cheap
-    emulated add/mul path instead of emulated matmuls (measured 0.46 s for
-    the dense f64 vmult at 17M DoFs vs ~0.04 s banded)."""
+    emulated add/mul path instead of emulated matmuls (measured 461 ms for
+    the dense f64 vmult at 17M DoFs vs 96 ms banded).
+
+    Implemented as ONE pad + static slices of the padded buffer (all shifted
+    views of the same array, which XLA fuses into the mad chain) rather than
+    per-offset rolls (each roll materializes a copy).  Non-periodic zero
+    padding doubles as the out-of-range kill the diagonal tables also encode;
+    periodic wrap-padding reproduces roll semantics."""
     nd = t.ndim
     shape = [1] * nd
-    shape[grid_axis] = t.shape[grid_axis]
+    N = t.shape[grid_axis]
+    shape[grid_axis] = N
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    pad = [(0, 0)] * nd
+    pad[grid_axis] = (lo, hi)
+    tp = jnp.pad(t, pad, mode="wrap" if periodic else "constant")
     acc = None
     for k, off in enumerate(offsets):
         d = diags[k].reshape(shape)
-        shifted = jnp.roll(t, -off, grid_axis)
-        term = d * shifted
+        sl = [slice(None)] * nd
+        sl[grid_axis] = slice(lo + off, lo + off + N)
+        term = d * tp[tuple(sl)]
         acc = term if acc is None else acc + term
     return acc
 
 
-def separable_laplace_apply_banded(u_grid, Mdiags, Kdiags, offsets, dim: int):
+def separable_laplace_apply_banded(u_grid, Mdiags, Kdiags, offsets, dim: int,
+                                   periodic=None):
     """separable_laplace_apply with banded (diagonal-table) axis applies.
 
     Mdiags/Kdiags[d] = diagonal tables of direction d; offsets[d] their
-    diagonal offsets (per-direction: grid sizes differ)."""
-    ap = lambda t, tab, d: banded_axis_apply(t, tab, offsets[d], dim - 1 - d)
+    diagonal offsets (per-direction: grid sizes differ); periodic[d] selects
+    wrap padding."""
+    per = periodic or (False,) * dim
+    ap = lambda t, tab, d: banded_axis_apply(t, tab, offsets[d], dim - 1 - d,
+                                             per[d])
     if dim == 2:
         a = ap(u_grid, Mdiags[0], 0)
         v = ap(a, Kdiags[1], 1) + ap(ap(u_grid, Kdiags[0], 0), Mdiags[1], 1)
