@@ -123,6 +123,11 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
            b.shape, str(b.dtype), x0 is not None)
     run = _CG_DEVICE_CACHE.get(key)
     if run is None:
+        # bounded cache: keys hold strong refs to operator/preconditioner
+        # objects — evict oldest entries so long config sweeps don't retain
+        # every problem's device tables
+        while len(_CG_DEVICE_CACHE) >= 8:
+            _CG_DEVICE_CACHE.pop(next(iter(_CG_DEVICE_CACHE)))
         tol, red, max_steps = (control.tolerance, control.reduce,
                                control.max_steps)
         use64 = jax.config.jax_enable_x64
@@ -335,14 +340,172 @@ def flexible_cg(A, b, M=None, control=None, x0=None) -> SolveResult:
     return SolveResult(x, it, state == "success", control.history)
 
 
+_GMRES_DEVICE_CACHE: dict = {}
+
+
+def _gmres_device(A, b, M, control: ReductionControl, x0, restart: int,
+                  right_preconditioning: bool) -> SolveResult:
+    """GMRES restart cycles as jitted device programs (CGS2, Givens).
+
+    Same math as the host loop below, but each restart cycle runs entirely
+    on-device: through the remote tunnel the host CGS2 pulls 2(k+1) scalars
+    per iteration (~35 ms each), i.e. SECONDS of pure synchronization per
+    Krylov iteration at the reference's restart sizes.  One host sync per
+    cycle remains (the restart decision)."""
+    import jax
+    from jax import lax
+
+    key = (A, M, control.tolerance, control.reduce, control.max_steps,
+           restart, right_preconditioning, b.shape, str(b.dtype))
+    cycle = _GMRES_DEVICE_CACHE.get(key)
+    if cycle is None:
+        while len(_GMRES_DEVICE_CACHE) >= 8:
+            _GMRES_DEVICE_CACHE.pop(next(iter(_GMRES_DEVICE_CACHE)))
+        tol, red, max_steps = (control.tolerance, control.reduce,
+                               control.max_steps)
+        R = restart
+        use64 = jax.config.jax_enable_x64
+        hdt = jnp.float64 if use64 else b.dtype
+
+        def dot(a, c):
+            if use64 and a.dtype != jnp.float64:
+                return jnp.vdot(a.astype(jnp.float64), c.astype(jnp.float64))
+            return jnp.vdot(a, c)
+
+        def norm(a):
+            if use64 and a.dtype != jnp.float64:
+                return jnp.linalg.norm(a.astype(jnp.float64))
+            return jnp.linalg.norm(a)
+
+        def cycle_impl(x, b, initial, it0):
+            r = b - A(x)
+            if not right_preconditioning:
+                r = M(r)
+            beta = norm(r)
+            initial = jnp.where(initial < 0.0, beta, initial)
+            n = b.shape[0]
+            V = jnp.zeros((R + 1, n), b.dtype).at[0].set(
+                (r / beta.astype(b.dtype)))
+            H = jnp.zeros((R + 1, R), hdt)
+            cs = jnp.zeros(R, hdt)
+            sn = jnp.zeros(R, hdt)
+            g = jnp.zeros(R + 1, hdt).at[0].set(beta)
+            # step-0 convergence (first cycle only, it0 == 0)
+            done0 = (it0 == 0) & (beta <= tol)
+
+            def cond(s):
+                return (~s[6]) & (s[5] < R)
+
+            def body(s):
+                V, H, cs, sn, g, k, done, succ, res = s
+                vk = lax.dynamic_index_in_dim(V, k, 0, keepdims=False)
+                w = A(M(vk)) if right_preconditioning else M(A(vk))
+                # CGS2 — rows of V beyond k are zero, so full matvecs
+                # self-mask; dots accumulate in f64
+                Vd = V.astype(hdt) if V.dtype != hdt else V
+                wd = w.astype(hdt) if w.dtype != hdt else w
+                h1 = Vd @ wd
+                wd = wd - Vd.T @ h1
+                h2 = Vd @ wd
+                wd = wd - Vd.T @ h2
+                hcol = h1 + h2  # (R+1,)
+                hk1 = jnp.sqrt(jnp.vdot(wd, wd))
+                vnew = (wd / jnp.where(hk1 == 0.0, 1.0, hk1)).astype(b.dtype)
+                Vn = lax.dynamic_update_index_in_dim(V, vnew, k + 1, 0)
+
+                def rot(j, hc):
+                    t = cs[j] * hc[j] + sn[j] * hc[j + 1]
+                    u = -sn[j] * hc[j] + cs[j] * hc[j + 1]
+                    on = j < k
+                    return hc.at[j].set(jnp.where(on, t, hc[j])).at[
+                        j + 1].set(jnp.where(on, u, hc[j + 1]))
+
+                hcol = hcol.at[k + 1].set(hk1)
+                hcol = lax.fori_loop(0, R, rot, hcol)
+                hk = hcol[k]
+                hkp = hcol[k + 1]
+                denom = jnp.hypot(hk, hkp)
+                ck = jnp.where(denom == 0.0, 1.0, hk / jnp.where(
+                    denom == 0.0, 1.0, denom))
+                sk = jnp.where(denom == 0.0, 0.0, hkp / jnp.where(
+                    denom == 0.0, 1.0, denom))
+                hcol = hcol.at[k].set(denom).at[k + 1].set(0.0)
+                csn = cs.at[k].set(ck)
+                snn = sn.at[k].set(sk)
+                gk = g[k]
+                gn = g.at[k + 1].set(-sk * gk).at[k].set(ck * gk)
+                Hn = H.at[:, k].set(hcol[:R + 1])
+                resn = jnp.abs(gn[k + 1])
+                itn = it0 + k + 1
+                success = (resn <= tol) | (resn < red * initial)
+                failure = itn >= max_steps
+                donen = success | failure | (hk1 == 0.0)
+                return (Vn, Hn, csn, snn, gn, k + 1, donen, success, resn)
+
+            s0 = (V, H, cs, sn, g, jnp.int32(0), done0, done0, beta)
+            V, H, cs, sn, g, k, done, succ, res = lax.while_loop(cond, body,
+                                                                 s0)
+
+            # masked back-substitution for H[:k,:k] y = g[:k]
+            def backsub(i_rev, y):
+                i = R - 1 - i_rev
+                num = g[i] - jnp.vdot(H[i, :R], y)
+                hii = H[i, i]
+                yi = jnp.where((i < k) & (hii != 0.0),
+                               num / jnp.where(hii == 0.0, 1.0, hii), 0.0)
+                return y.at[i].set(yi)
+
+            y = lax.fori_loop(0, R, backsub, jnp.zeros(R, hdt))
+            update = (V[:R].T @ y.astype(b.dtype)).astype(b.dtype)
+            if right_preconditioning:
+                update = M(update)
+            xn = x + update
+            return xn, k, res, succ, done0, initial
+
+        cycle = jax.jit(cycle_impl)
+        _GMRES_DEVICE_CACHE[key] = cycle
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    it = 0
+    hdt0 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    initial = jnp.asarray(-1.0, hdt0)  # device scalars: python ints/floats
+    history = []                       # as jit args would retrace per value
+    while True:
+        x, k, res, succ, done0, initial = cycle(x, b, initial,
+                                                jnp.asarray(it, jnp.int32))
+        it += int(k)
+        history.append(float(res))
+        if bool(done0):
+            return SolveResult(x, 0, bool(succ), history)
+        if bool(succ):
+            return SolveResult(x, it, True, history)
+        if it >= control.max_steps or int(k) == 0:
+            return SolveResult(x, it, False, history)
+
+
 def gmres(A, b, M=None, control=None, x0=None, restart=28,
-          right_preconditioning=True, orthogonalization="classical") -> SolveResult:
+          right_preconditioning=True, orthogonalization="classical",
+          device_loop: bool | None = None) -> SolveResult:
     """GMRES with restart; right preconditioning by default (driver default).
 
     restart=28 matches deal.II's default max_n_tmp_vectors=30 (basis 28).
+    device_loop (default: on for hashable bound-method A/M with classical
+    orthogonalization) runs each restart cycle as one jitted device program.
     """
     M = M or _identity
     control = control or ReductionControl()
+    if device_loop is None:
+        device_loop = (orthogonalization == "classical"
+                       and isinstance(control, ReductionControl)
+                       and hasattr(A, "__self__") and hasattr(M, "__self__"))
+    if device_loop and orthogonalization == "classical":
+        try:
+            hash(A), hash(M)
+        except TypeError:
+            pass
+        else:
+            return _gmres_device(A, b, M, control, x0, restart,
+                                 right_preconditioning)
     n = b.shape[0]
     x = jnp.zeros_like(b) if x0 is None else x0
 
