@@ -82,6 +82,14 @@ class UnstructuredMesh:
     project: object = None             # callable (pts (N,dim)) -> (N,dim) boundary projection
     parent_cells: np.ndarray | None = None  # (C,) parent cell index after refine
     child_index: np.ndarray | None = None   # (C,) octant within parent
+    # transfinite chart (TransfiniteInterpolationManifold analog): geometry as
+    # a smooth map over the COARSE cells; refined cells remember their ref
+    # sub-box within the coarse ancestor so every vertex / mapping support
+    # point evaluates the chart exactly (no accumulated chord error)
+    chart: object = None               # .eval(cell_ids (N,), ref (N,dim)) -> (N,dim)
+    chart_cell: np.ndarray | None = None  # (C,) coarse ancestor id
+    chart_lo: np.ndarray | None = None    # (C, dim) ref sub-box lower corner
+    chart_h: np.ndarray | None = None     # (C,) ref sub-box size (1/2^level)
 
     # -- topology ------------------------------------------------------------
 
@@ -149,14 +157,23 @@ class UnstructuredMesh:
         bnd = self.boundary_vertex_mask()
         nbr = self.face_neighbors()
         fv = _face_vertices(dim)
+        vc_f = _VERTEX_COORDS[dim].astype(np.float64)
+        cc, clo, ch = self._chart_boxes()
 
         new_pts: list[np.ndarray] = []
         new_on_boundary: list[bool] = []
+        # chart bookkeeping for new vertices: (coarse cell, coarse ref coords)
+        new_chart_cell: list[int] = []
+        new_chart_ref: list[np.ndarray] = []
 
-        def _mk(point: np.ndarray, on_bnd: bool) -> int:
+        def _mk(point: np.ndarray, on_bnd: bool, cell: int = -1,
+                local_ref: np.ndarray | None = None) -> int:
             nonlocal next_id
             new_pts.append(point)
             new_on_boundary.append(on_bnd)
+            if self.chart is not None:
+                new_chart_cell.append(int(cc[cell]))
+                new_chart_ref.append(clo[cell] + ch[cell] * local_ref)
             next_id += 1
             return next_id - 1
 
@@ -186,9 +203,9 @@ class UnstructuredMesh:
                     continue
                 mid = 0.5 * (self.vertices[key[0]] + self.vertices[key[1]])
                 on_b = key in bnd_edges
-                if on_b and self.project is not None:
+                if on_b and self.project is not None and self.chart is None:
                     mid = np.asarray(self.project(mid[None, :]))[0]
-                edge_mid[key] = _mk(mid, on_b)
+                edge_mid[key] = _mk(mid, on_b, c, 0.5 * (vc_f[a] + vc_f[b]))
 
         # face midpoints (3D)
         face_mid: dict[tuple, int] = {}
@@ -201,17 +218,26 @@ class UnstructuredMesh:
                     pts = self.vertices[list(key)]
                     mid = pts.mean(axis=0)
                     on_b = nbr[c, f] < 0
-                    if on_b and self.project is not None:
+                    if on_b and self.project is not None and self.chart is None:
                         mid = np.asarray(self.project(mid[None, :]))[0]
-                    face_mid[key] = _mk(mid, on_b)
+                    face_mid[key] = _mk(mid, on_b, c, vc_f[fv[f]].mean(axis=0))
 
         # cell centers
         centers = {}
+        mid_ref = np.full(dim, 0.5)
         for c in range(self.n_cells_total):
-            centers[c] = _mk(self.vertices[self.cells[c]].mean(axis=0), False)
+            centers[c] = _mk(self.vertices[self.cells[c]].mean(axis=0), False,
+                             c, mid_ref)
 
         all_vertices = np.concatenate(
             [self.vertices, np.array(new_pts).reshape(-1, dim)], axis=0)
+        if self.chart is not None and new_chart_cell:
+            # batch-evaluate the chart for every new vertex (straight midpoints
+            # above were placeholders); shared entities were created once, from
+            # one adjacent cell — chart conformity makes the choice immaterial
+            ids = np.asarray(new_chart_cell, dtype=np.int64)
+            refs = np.asarray(new_chart_ref)
+            all_vertices[self.n_vertices:] = self.chart.eval(ids, refs)
 
         # children: local fine lattice 3^dim of (vertex|edge-mid|face-mid|center)
         vc = _VERTEX_COORDS[dim]
@@ -244,14 +270,35 @@ class UnstructuredMesh:
                 parents.append(c)
                 child_idx.append(ci)
 
+        parents_a = np.asarray(parents, dtype=np.int64)
+        child_a = np.asarray(child_idx, dtype=np.int64)
+        kw = {}
+        if self.chart is not None:
+            oct_f = _VERTEX_COORDS[dim].astype(np.float64)
+            kw = dict(chart=self.chart,
+                      chart_cell=cc[parents_a],
+                      chart_lo=clo[parents_a]
+                      + 0.5 * ch[parents_a, None] * oct_f[child_a],
+                      chart_h=0.5 * ch[parents_a])
         return UnstructuredMesh(
             dim=dim,
             vertices=all_vertices,
             cells=np.asarray(children, dtype=np.int64),
             project=self.project,
-            parent_cells=np.asarray(parents, dtype=np.int64),
-            child_index=np.asarray(child_idx, dtype=np.int64),
+            parent_cells=parents_a,
+            child_index=child_a,
+            **kw,
         )
+
+    def _chart_boxes(self):
+        """(chart_cell, chart_lo, chart_h) with coarse-level defaults."""
+        C = self.n_cells_total
+        cc = (self.chart_cell if self.chart_cell is not None
+              else np.arange(C, dtype=np.int64))
+        clo = (self.chart_lo if self.chart_lo is not None
+               else np.zeros((C, self.dim)))
+        ch = (self.chart_h if self.chart_h is not None else np.ones(C))
+        return cc, clo, ch
 
     def refine_global(self, n: int) -> "UnstructuredMesh":
         m = self
@@ -276,6 +323,16 @@ class UnstructuredMesh:
         from .grid import _tensor_lattice
 
         unit = _tensor_lattice(gll, dim)  # (L, dim), x fastest
+        if self.chart is not None:
+            # evaluate the transfinite chart at every lattice point: curved
+            # geometry everywhere in the blended region, not just on the
+            # boundary faces (TransfiniteInterpolationManifold semantics)
+            cc, clo, ch = self._chart_boxes()
+            C, L = self.n_cells_total, unit.shape[0]
+            refs = clo[:, None, :] + ch[:, None, None] * unit[None, :, :]
+            ids = np.repeat(cc, L)
+            return self.chart.eval(ids, refs.reshape(C * L, dim)).reshape(
+                C, L, dim)
         # multilinear shape functions at unit points
         vc = _VERTEX_COORDS[dim].astype(np.float64)
         w = np.ones((unit.shape[0], vc.shape[0]))
@@ -433,6 +490,67 @@ class UnstructuredMesh:
 # -- generators -----------------------------------------------------------------
 
 
+class BallChart:
+    """Transfinite chart for the balanced ball (the role deal.II's
+    TransfiniteInterpolationManifold plays for GridGenerator::hyper_ball_balanced).
+
+    Center-block cells are straight (multilinear).  Each shell cell has exactly
+    one face on the sphere; its map is the straight multilinear blend plus the
+    outer-face bulge — the radial projection of the bilinear outer-face point
+    onto the sphere — faded linearly in the radial reference coordinate.  The
+    fade is zero at the inner face (conforming with the straight center block)
+    and the bulge on a shared radial face depends only on the shared outer
+    edge, so adjacent shell cells agree: the refined mesh is watertight.
+    Without this blend, interior refinement vertices sit on straight chords
+    and the near-boundary cell layers shear (max aspect ratio 3.9 vs 2.4).
+    """
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray, radius: float):
+        self.dim = int(vertices.shape[1])
+        self.corners = vertices[cells]        # (C, 2^dim, dim)
+        self.radius = float(radius)
+        C = cells.shape[0]
+        self.axis = np.full(C, -1, dtype=np.int64)   # radial local axis
+        self.side = np.zeros(C, dtype=np.int64)      # 1 if outer face at ref=1
+        fv = _face_vertices(self.dim)
+        r = np.linalg.norm(self.corners, axis=2)     # (C, 2^dim)
+        on_sphere = np.isclose(r, radius, rtol=1e-9)
+        for f in range(2 * self.dim):
+            hit = on_sphere[:, fv[f]].all(axis=1)
+            self.axis[hit] = f // 2
+            self.side[hit] = f % 2
+
+    @staticmethod
+    def _blend(corners: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        """Multilinear blend: corners (N, 2^dim, dim) at ref (N, dim)."""
+        dim = corners.shape[2]
+        vc = _VERTEX_COORDS[dim].astype(np.float64)
+        w = np.ones((ref.shape[0], vc.shape[0]))
+        for d in range(dim):
+            xd = ref[:, d][:, None]
+            w = w * np.where(vc[None, :, d] > 0.5, xd, 1.0 - xd)
+        return np.einsum("nv,nvd->nd", w, corners)
+
+    def eval(self, ids: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        corners = self.corners[ids]
+        out = self._blend(corners, ref)
+        ax = self.axis[ids]
+        idx = np.where(ax >= 0)[0]
+        if len(idx) == 0:
+            return out
+        a = ax[idx]
+        s = self.side[ids][idx]
+        rows = np.arange(len(idx))
+        ref_out = ref[idx].copy()
+        ref_out[rows, a] = s.astype(np.float64)
+        b_out = self._blend(corners[idx], ref_out)
+        p_out = b_out / np.linalg.norm(b_out, axis=1, keepdims=True) * self.radius
+        ra = ref[idx][rows, a]                       # radial reference coord
+        w_rad = np.where(s > 0, ra, 1.0 - ra)
+        out[idx] += w_rad[:, None] * (p_out - b_out)
+        return out
+
+
 def hyper_ball_balanced(dim: int, radius: float = 1.0) -> UnstructuredMesh:
     """Balanced ball mesh: 2^dim center cells + shell cells projected to the
     sphere — 12 cells in 2D, 32 in 3D (matching GridGenerator::hyper_ball_balanced
@@ -444,7 +562,9 @@ def hyper_ball_balanced(dim: int, radius: float = 1.0) -> UnstructuredMesh:
     projection of its vertices onto the sphere.  New boundary vertices created
     during refinement are re-projected (``project``).
     """
-    a = radius / (2.0 * np.sqrt(dim)) * 1.6  # inner half-width tuned for balance
+    # inner half-width: swept for minimal refined max-aspect-ratio under the
+    # transfinite chart (3D L3: 1.3 → 2.92; the pre-chart 1.6 → 3.98)
+    a = radius / (2.0 * np.sqrt(dim)) * 1.3
     # center block: 2^dim cells over [-a, a]^dim, 3^dim lattice
     grid_1d = np.array([-a, 0.0, a])
     mesh_pts = np.meshgrid(*([grid_1d] * dim), indexing="ij")
@@ -529,6 +649,9 @@ def hyper_ball_balanced(dim: int, radius: float = 1.0) -> UnstructuredMesh:
                             all_cells, project=proj)
     # fix inverted cells (negative Jacobian from face-ordering edge cases)
     _fix_cell_orientations(mesh)
+    # transfinite chart AFTER orientation fixes (it reads the final cell
+    # vertex order); `project` stays attached as the curved-geometry marker
+    mesh.chart = BallChart(mesh.vertices, mesh.cells, radius)
     return mesh
 
 

@@ -21,6 +21,10 @@ from ..fem.dofs import DofHandler
 
 
 class DomainPreconditioner:
+    # host-side numpy/scipy oracle: must NOT be traced into jitted Krylov
+    # device loops (solvers/krylov.py dispatches on this flag)
+    device_traceable = False
+
     def __init__(self, dofs: DofHandler, n_subdomains: int = 2,
                  n_halo_layers: int = 1, weighting_type: str = "symm",
                  inner_solver: str = "direct", inner_reduction: float = 1e-8):

@@ -104,6 +104,37 @@ def _norm(a) -> float:
     return float(jnp.linalg.norm(a))
 
 
+def _dot_twostage(a, c):
+    """Layout-safe in-jit inner product (two-stage reshaped reduction).
+
+    A flat full-length reduce consuming the operator-apply output makes XLA
+    pick a packed layout for the whole vector and insert a relayout copy per
+    Krylov iteration (~190 ms per dot at 17M f64 — measured: 5×(vmult+vdot)
+    1297 ms vs 5×vmult 346 ms).  Reshaping the elementwise product to
+    (rows, 8192) and chaining two partial sums keeps the vector layout
+    untouched: 5×(vmult+two-stage dot) = 344 ms, i.e. the dots become free.
+    Summation order differs from vdot only in grouping (same dtype, ~1e-9
+    relative agreement at 17M f64).
+    """
+    p = a * c
+    n = p.shape[0]
+    K = 8192
+    if n <= 2 * K:
+        return p.sum()
+    pad = (-n) % K
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+    return p.reshape(-1, K).sum(0).sum()
+
+
+def _device_traceable(fn) -> bool:
+    """True when a bound operator/preconditioner method may be traced into a
+    jitted device loop.  Host-side oracles (e.g. DomainPreconditioner's scipy
+    sparse-LU solve) set ``device_traceable = False`` on their class."""
+    obj = getattr(fn, "__self__", None)
+    return getattr(obj, "device_traceable", True) if obj is not None else True
+
+
 _CG_DEVICE_CACHE: dict = {}
 
 
@@ -134,13 +165,12 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
 
         def dot(a, c):
             if use64 and a.dtype != jnp.float64:
-                return jnp.vdot(a.astype(jnp.float64), c.astype(jnp.float64))
-            return jnp.vdot(a, c)
+                return _dot_twostage(a.astype(jnp.float64),
+                                     c.astype(jnp.float64))
+            return _dot_twostage(a, c)
 
         def norm(a):
-            if use64 and a.dtype != jnp.float64:
-                return jnp.linalg.norm(a.astype(jnp.float64))
-            return jnp.linalg.norm(a)
+            return jnp.sqrt(dot(a, a))
 
         def run_impl(x, r):
             res0 = norm(r)
@@ -218,14 +248,20 @@ def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
     if device_loop is None:
         device_loop = (not track_eigenvalues
                        and isinstance(control, ReductionControl)
-                       and hasattr(A, "__self__") and hasattr(M, "__self__"))
+                       and hasattr(A, "__self__") and hasattr(M, "__self__")
+                       and _device_traceable(A) and _device_traceable(M))
     if device_loop and not track_eigenvalues:
         try:
             hash(A), hash(M)
         except TypeError:
             pass
         else:
-            return _cg_device(A, b, M, control, x0)
+            import jax
+
+            try:
+                return _cg_device(A, b, M, control, x0)
+            except jax.errors.JAXTypeError:
+                pass  # operator not traceable after all: host loop below
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b.copy() if hasattr(b, "copy") else b
     res = _norm(r)
@@ -369,13 +405,12 @@ def _gmres_device(A, b, M, control: ReductionControl, x0, restart: int,
 
         def dot(a, c):
             if use64 and a.dtype != jnp.float64:
-                return jnp.vdot(a.astype(jnp.float64), c.astype(jnp.float64))
-            return jnp.vdot(a, c)
+                return _dot_twostage(a.astype(jnp.float64),
+                                     c.astype(jnp.float64))
+            return _dot_twostage(a, c)
 
         def norm(a):
-            if use64 and a.dtype != jnp.float64:
-                return jnp.linalg.norm(a.astype(jnp.float64))
-            return jnp.linalg.norm(a)
+            return jnp.sqrt(dot(a, a))
 
         def cycle_impl(x, b, initial, it0):
             r = b - A(x)
@@ -409,7 +444,7 @@ def _gmres_device(A, b, M, control: ReductionControl, x0, restart: int,
                 h2 = Vd @ wd
                 wd = wd - Vd.T @ h2
                 hcol = h1 + h2  # (R+1,)
-                hk1 = jnp.sqrt(jnp.vdot(wd, wd))
+                hk1 = norm(wd)
                 vnew = (wd / jnp.where(hk1 == 0.0, 1.0, hk1)).astype(b.dtype)
                 Vn = lax.dynamic_update_index_in_dim(V, vnew, k + 1, 0)
 
@@ -497,15 +532,21 @@ def gmres(A, b, M=None, control=None, x0=None, restart=28,
     if device_loop is None:
         device_loop = (orthogonalization == "classical"
                        and isinstance(control, ReductionControl)
-                       and hasattr(A, "__self__") and hasattr(M, "__self__"))
+                       and hasattr(A, "__self__") and hasattr(M, "__self__")
+                       and _device_traceable(A) and _device_traceable(M))
     if device_loop and orthogonalization == "classical":
         try:
             hash(A), hash(M)
         except TypeError:
             pass
         else:
-            return _gmres_device(A, b, M, control, x0, restart,
-                                 right_preconditioning)
+            import jax
+
+            try:
+                return _gmres_device(A, b, M, control, x0, restart,
+                                     right_preconditioning)
+            except jax.errors.JAXTypeError:
+                pass  # operator not traceable after all: host loop below
     n = b.shape[0]
     x = jnp.zeros_like(b) if x0 is None else x0
 
