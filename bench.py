@@ -25,6 +25,9 @@ BASELINE_GDOFS = 16_974_593 / (0.237 / 5) / 1e9  # ≈ 0.358 GDoF/s
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from dealii_asm_tpu.fem.dofs import DofHandler

@@ -25,3 +25,20 @@ import sys as _sys
 # 1000-frame recursion limit
 if _sys.getrecursionlimit() < 10000:
     _sys.setrecursionlimit(10000)
+
+# Large-array setup performance: on this platform first-touch page faults run
+# at ~20 MB/s (vs ~50 GB/s warm), and glibc mmap()s every allocation above
+# 128 KB and munmap()s it on free — so EVERY multi-hundred-MB NumPy temporary
+# in the host setup layer pays the first-touch penalty again (measured: a
+# single 786 MB broadcast add took 93 s; 0.1 s once pages are warm).  Raising
+# M_MMAP_THRESHOLD keeps big blocks on the brk heap, where freed pages are
+# reused warm across temporaries (measured: 64³ Q4 operator+smoother setup
+# 744 s -> tens of seconds).
+try:  # glibc only; harmless elsewhere
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL(None, use_errno=True)
+    _M_MMAP_THRESHOLD = -3
+    _libc.mallopt(_M_MMAP_THRESHOLD, 1 << 31)
+except Exception:  # pragma: no cover - non-glibc platforms
+    pass

@@ -102,10 +102,18 @@ class DofHandler:
     @cached_property
     def boundary_mask(self) -> np.ndarray:
         """(n_dofs,) bool: True where the node lies on a non-periodic domain boundary."""
-        mi = self.node_multi_index
+        # grid-view writes instead of node_multi_index comparisons: the
+        # multi-index is dim O(n)-int64 arrays (GBs of first-touch page
+        # faults at scale); the boundary planes are O(n^(1-1/dim))
         mask = np.zeros(self.n_dofs, dtype=bool)
+        view = mask.reshape(tuple(reversed(self.nodes_per_dim)))  # (…, Ny, Nx)
         for d in range(self.mesh.dim):
             if self.mesh.periodic[d]:
                 continue
-            mask |= (mi[:, d] == 0) | (mi[:, d] == self.nodes_per_dim[d] - 1)
+            a = self.mesh.dim - 1 - d  # grid axis of direction d
+            sl0 = [slice(None)] * self.mesh.dim
+            sl0[a] = 0
+            view[tuple(sl0)] = True
+            sl0[a] = self.nodes_per_dim[d] - 1
+            view[tuple(sl0)] = True
         return mask

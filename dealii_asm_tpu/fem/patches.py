@@ -31,29 +31,37 @@ def element_patch_indices(dofs: DofHandler, n_overlap: int) -> np.ndarray:
     mi = dofs.mesh.cell_multi_index()  # (C, dim)
     C = mi.shape[0]
 
-    offsets = np.arange(m) - (n_overlap - 1)  # node offsets from cell start
+    offsets = np.arange(m, dtype=np.int32) - (n_overlap - 1)  # from cell start
     per_dim = []
     for d in range(dim):
-        k = mi[:, d, None] * p + offsets[None, :]  # (C, m)
+        k = mi[:, d, None].astype(np.int32) * p + offsets[None, :]  # (C, m)
         if dofs.mesh.periodic[d]:
             k = k % N[d]
             valid = np.ones_like(k, dtype=bool)
         else:
             valid = (k >= 0) & (k <= N[d] - 1)
             k = np.clip(k, 0, N[d] - 1)
-        per_dim.append((k.astype(np.int64), valid))
+        per_dim.append((k, valid))
 
-    strides = np.cumprod([1] + list(N[:-1]))
-    out = np.zeros((C, m**dim), dtype=np.int64)
-    ok = np.ones((C, m**dim), dtype=bool)
+    # one broadcast sum over (C, m, …, m) int32 instead of dim gathered
+    # (C, m^dim) int64 temporaries: ~10× less allocation volume — first-touch
+    # page faults on fresh temps dominate setup at scale (see __init__.py)
+    strides = np.cumprod([1] + list(N[:-1])).astype(np.int32)
+    out = None
+    ok = None
     for d in range(dim):
-        reps_inner = m**d
-        reps_outer = m ** (dim - 1 - d)
-        sel = np.tile(np.repeat(np.arange(m), reps_inner), reps_outer)
-        out += per_dim[d][0][:, sel] * strides[d]
-        ok &= per_dim[d][1][:, sel]
-    out[~ok] = dofs.n_dofs  # pad
-    return out.astype(np.int32)
+        # local axis order is x fastest -> axis position dim-1-d in (C, m^dim)
+        sh = [1] * (dim + 1)
+        sh[0] = C
+        sh[dim - d] = m
+        kd = (per_dim[d][0] * strides[d]).reshape(sh)
+        vd = per_dim[d][1].reshape(sh)
+        out = kd if out is None else out + kd
+        ok = vd if ok is None else ok & vd
+    out = out.reshape(C, m**dim)
+    np.copyto(out, np.int32(dofs.n_dofs),
+              where=~ok.reshape(C, m**dim))  # pad
+    return out
 
 
 def vertex_all_patch_indices(dofs: DofHandler) -> tuple[np.ndarray, np.ndarray]:

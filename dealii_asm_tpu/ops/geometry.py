@@ -26,7 +26,12 @@ from ..mesh.grid import StructuredMesh, _tensor_weights
 
 @dataclass(frozen=True)
 class GeometryData:
-    """Host-side geometry tables (float64 NumPy)."""
+    """Host-side geometry tables (float64 NumPy).
+
+    ``jxw`` and ``q_points`` are LAZY (computed on first access): they are
+    (C, Q)/(C, Q, dim) arrays needed only for rhs/mass integrals, and
+    materializing them eagerly dominated operator setup at scale (¾ GB of
+    first-touch page faults at 64³ Q4 — see dealii_asm_tpu/__init__.py)."""
 
     kind: str                      # "cartesian" | "merged"
     dim: int
@@ -34,8 +39,22 @@ class GeometryData:
     quad_weights: np.ndarray       # (Q,) tensor-product weights, x fastest
     cell_widths: np.ndarray | None # (C, dim) for cartesian
     coeff: np.ndarray | None       # (C, Q, dim, dim) merged sym coefficient (incl. w_q)
-    jxw: np.ndarray                # (C, Q) w_q |det J| (for rhs/mass integrals)
-    q_points: np.ndarray           # (C, Q, dim) physical quadrature points
+    _jxw_fn: object = None         # () -> (C, Q) w_q |det J|
+    _q_points_fn: object = None    # () -> (C, Q, dim) physical q-points
+
+    @property
+    def jxw(self) -> np.ndarray:
+        cache = object.__getattribute__(self, "__dict__")
+        if "_jxw" not in cache:
+            cache["_jxw"] = self._jxw_fn()
+        return cache["_jxw"]
+
+    @property
+    def q_points(self) -> np.ndarray:
+        cache = object.__getattribute__(self, "__dict__")
+        if "_q_points" not in cache:
+            cache["_q_points"] = self._q_points_fn()
+        return cache["_q_points"]
 
 
 def compute_geometry(
@@ -50,12 +69,11 @@ def compute_geometry(
     from ..mesh.grid import _tensor_lattice
 
     q_lattice = _tensor_lattice(s.q, mesh.dim)  # (Q, dim)
-    q_points = mesh.physical_points(q_lattice)  # (C, Q, dim)
+    q_points_fn = lambda: mesh.physical_points(q_lattice)  # (C, Q, dim)
 
     if mesh.transform is None and not force_merged:
         h = np.broadcast_to(mesh.h, (mesh.n_cells_total, mesh.dim)).copy()
         detj = np.prod(h, axis=1)  # (C,)
-        jxw = wq[None, :] * detj[:, None]
         return GeometryData(
             kind="cartesian",
             dim=mesh.dim,
@@ -63,8 +81,8 @@ def compute_geometry(
             quad_weights=wq,
             cell_widths=h,
             coeff=None,
-            jxw=jxw,
-            q_points=q_points,
+            _jxw_fn=lambda: wq[None, :] * detj[:, None],
+            _q_points_fn=q_points_fn,
         )
 
     J = mesh.jacobians(mapping_degree, s.q)  # (C, Q, dim, dim)
@@ -83,6 +101,6 @@ def compute_geometry(
         quad_weights=wq,
         cell_widths=None,
         coeff=coeff,
-        jxw=jxw,
-        q_points=q_points,
+        _jxw_fn=lambda: jxw,
+        _q_points_fn=q_points_fn,
     )

@@ -203,6 +203,8 @@ class LaplaceOperator:
 
             bw = self.degree
             self.Mdiags, self.Kdiags, self.band_offsets = [], [], []
+            self.Mdd, self.Kdd = [], []
+            want_dd = np.dtype(self.dtype) == np.float64
             for d, (M, K) in enumerate(factors):
                 md, offs = banded_diagonals(np.asarray(M), bw,
                                             self.mesh.periodic[d])
@@ -211,6 +213,17 @@ class LaplaceOperator:
                 self.Mdiags.append(jnp.asarray(md, dtype))
                 self.Kdiags.append(jnp.asarray(kd, dtype))
                 self.band_offsets.append(tuple(offs))
+                if want_dd:
+                    # double-single split tables: the f64 outer vmult runs as
+                    # native-f32 Dekker/TwoSum chains (ops/ddmath.py) instead
+                    # of XLA's software-f64 mads (~4× faster, ~47-bit result
+                    # ≫ the ~33 bits the rel-1e-5 outer solve can see)
+                    from .ddmath import split_table_np
+
+                    self.Mdd.append(tuple(
+                        jnp.asarray(t) for t in split_table_np(md)))
+                    self.Kdd.append(tuple(
+                        jnp.asarray(t) for t in split_table_np(kd)))
             # gradient-factored alternative form (kernel="stable"): measured
             # to have the SAME low-precision rounding behavior as the
             # Kronecker-sum form (the 1/h cancellation reappears in the
@@ -488,6 +501,23 @@ class LaplaceOperator:
                 dst = separable_stable_apply(
                     u0.reshape(self.grid_shape), self.stable_factors,
                     self.dim).reshape(-1)
+            elif (np.dtype(self.dtype) == np.float64
+                  and self.kernel != "banded" and self.Mdd):
+                # double-single path: hi/lo f32 pairs with error-free Dekker
+                # products and compensated sums (ops/ddmath.py) — native f32
+                # VPU ops instead of emulated f64 (71 -> ~17 ms at 17M).
+                # ~47-bit accuracy; the outer CG at rel 1e-5 through
+                # κ ≈ 1/h² needs ~33 (iteration counts verified identical).
+                from .ddmath import dd_from_f64, dd_to_f64
+                from .tensorops import separable_laplace_apply_banded_dd
+
+                ob = jax.lax.optimization_barrier
+                uh, ul = dd_from_f64(u0.reshape(self.grid_shape))
+                uh, ul = ob((uh, ul))
+                vh, vl = ob(separable_laplace_apply_banded_dd(
+                    uh, ul, self.Mdd, self.Kdd, self.band_offsets, self.dim,
+                    self.mesh.periodic))
+                dst = dd_to_f64(vh, vl).reshape(-1)
             elif (self.kernel == "banded"
                   or np.dtype(self.dtype) == np.float64):
                 # optimization_barrier: with flat in/out, XLA layout

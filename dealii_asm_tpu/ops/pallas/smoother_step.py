@@ -39,13 +39,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dot(a, b):
-    """True-f32 MXU dot: default Mosaic precision is bf16-operand class,
-    whose noise is amplified ~1/h² on smooth modes and (as in the XLA MG
-    levels, see matmul_precision="highest" there) degrades CG+MG parity —
-    measured 8 vs 5 outer iterations at 2.1M DoFs with default-precision
-    kernel dots."""
-    return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _dot(a, b, precision="highest"):
+    """MXU dot with explicit precision.
+
+    The A-path (operator applied to the ITERATE x — large, smooth) must run
+    true-f32 ("highest", 6 bf16 passes): default-precision noise is amplified
+    ~1/h² on smooth modes and degrades CG+MG parity — measured 8 vs 5 outer
+    iterations at 2.1M DoFs.  The F-stage (FDM transforms applied to the
+    RESIDUAL — small, rough) is a preconditioner: a relative perturbation
+    there only perturbs P⁻¹ multiplicatively and leaves iteration counts
+    intact at much lower dot precision (measured: see results_r2.md).
+
+    "high" (3 bf16 passes, ~2⁻²¹ operand error) is built manually from
+    bf16-split operands — Mosaic's dot lowering only accepts DEFAULT and
+    HIGHEST."""
+    if precision == "high":
+        f32 = jnp.float32
+        bf = jnp.bfloat16
+        ah = a.astype(bf)
+        al = (a - ah.astype(f32)).astype(bf)
+        bh = b.astype(bf)
+        bl = (b - bh.astype(f32)).astype(bf)
+        d = lambda u, v: jax.lax.dot(u, v, preferred_element_type=f32)
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    return jax.lax.dot(a, b, precision=_PRECISIONS[precision],
                        preferred_element_type=jnp.float32)
 
 
@@ -69,7 +93,8 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
             out_ref,
             p1r, p2r, azr, carry,
-            *, m: int, p: int, n_win: int, n_wy: int):
+            *, m: int, p: int, n_win: int, n_wy: int,
+            prec_a: str = "highest", prec_f: str = "highest"):
     # n_wy > 0 selects the windowed-VPU y-transform: gy_ref/gyt_ref then hold
     # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
     # the y transforms run as per-window vector broadcasts on reshaped plane
@@ -95,10 +120,10 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             xpl = x3_ref[t]
             ax = _band_x(xpl, dmx_ref, n_diag)
             kx = _band_x(xpl, dkx_ref, n_diag)
-            p1r[slot, t] = _dot(my_ref[:], ax)
+            p1r[slot, t] = _dot(my_ref[:], ax, prec_a)
             p2r[slot, t] = (
-                _dot(ky_ref[:], ax)
-                + _dot(my_ref[:], kx))
+                _dot(ky_ref[:], ax, prec_a)
+                + _dot(my_ref[:], kx, prec_a))
 
     # ---- A-stage: residual rows p·(i−2) .. p·(i−2)+p−1 ---------------------
     @pl.when((i >= 2) & (i <= n_win + 2))
@@ -138,7 +163,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             for s in range(1, m):
                 T = T + vzf_ref[wz, s, k] * r_plane(s)
             if n_wy == 0:
-                B = _dot(gy_ref[:], T.astype(dt))
+                B = _dot(gy_ref[:], T.astype(dt), prec_f)
             else:
                 r3 = T.reshape(ny // p, p, nx)
                 wins = [r3[:n_wy, s2, :] for s2 in range(p)]
@@ -150,10 +175,10 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                         acc = acc + gy_ref[s2, j] * wins[s2]
                     cols.append(acc)
                 B = jnp.stack(cols, axis=1).reshape(n_wy * m, nx)
-            Cq = _dot(B.astype(dt), gxT_ref[:])
+            Cq = _dot(B.astype(dt), gxT_ref[:], prec_f)
             Cq = Cq / (lamyx_ref[:] + lamz_ref[wz, k])
             if n_wy == 0:
-                Y = _dot(gyt_ref[:], Cq.astype(dt))
+                Y = _dot(gyt_ref[:], Cq.astype(dt), prec_f)
             else:
                 Cq3 = Cq.reshape(n_wy, m, mx)
                 rows = []
@@ -177,7 +202,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                     parts.append(jnp.zeros((tail, mx), f32))
                 Yc4 = jnp.concatenate(parts, axis=0)[:ny]
                 Y = Ybase + Yc4
-            Z = _dot(Y.astype(dt), gxtT_ref[:])
+            Z = _dot(Y.astype(dt), gxtT_ref[:], prec_f)
             for s in range(p):
                 if k == 0:
                     out_ref[s] = x1_ref[s] + omega * (vzb_ref[wz, s, k] * Z)
@@ -202,12 +227,14 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             out_ref[s] = jnp.zeros_like(out_ref[s])
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def _call(x, b, omega, tables, shape, interpret=False):
+@functools.partial(jax.jit, static_argnames=("shape", "prec", "interpret"))
+def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
+          interpret=False):
     ny, nx, m, p, n_win, n_wy = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
-    kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy)
+    kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
+                             prec_a=prec[0], prec_f=prec[1])
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -263,7 +290,8 @@ class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
-                 fdm_y: str = "dense"):
+                 fdm_y: str = "dense", precision_a: str = "highest",
+                 precision_f: str = "highest"):
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
         vector broadcasts on reshaped plane rows (the block-banded structure
         of G — ~2.4x fewer F-stage MXU FLOPs, but measured SLOWER on v5e:
@@ -428,6 +456,7 @@ class SmootherStepKernel:
             lamyx_t,
         )
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy)
+        self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.p = p
         # x/b front-padded by 3 blocks + 3 tail blocks beyond the grid so all
@@ -439,7 +468,8 @@ class SmootherStepKernel:
         xp = jnp.pad(xg.astype(jnp.float32), self._pad)
         bp = jnp.pad(bg.astype(jnp.float32), self._pad)
         om = jnp.full((1, 1), omega, jnp.float32)
-        out = _call(xp, bp, om, self.tables, self.shape, interpret=interpret)
+        out = _call(xp, bp, om, self.tables, self.shape,
+                    prec=self.precisions, interpret=interpret)
         nz, ny, nx = self.grid_shape
         return out[3 * self.p : 3 * self.p + nz, :ny, :nx]
 

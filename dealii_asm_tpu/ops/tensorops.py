@@ -322,6 +322,77 @@ def separable_laplace_apply_banded(u_grid, Mdiags, Kdiags, offsets, dim: int,
     return v
 
 
+def banded_axis_apply_dd(th, tl, dtab, offsets, grid_axis: int,
+                         periodic: bool = False):
+    """banded_axis_apply on a double-single pair (th, tl) — see ops/ddmath.
+
+    dtab = (dh, dl, dhh, dhl): the f64 diagonal table split host-side by
+    ddmath.split_table_np.  Every partial product dh·xh is made exact by
+    Dekker's algorithm on the ≤12-bit operand halves; the running sum keeps a
+    compensation term via TwoSum.  ~21 native f32 flops per (element,
+    diagonal) — vs XLA's software-f64 mads, measured ~4× faster end-to-end
+    (the outer-Krylov vmult of the P8 mixed-precision architecture)."""
+    from .ddmath import quick_two_sum, split12, two_sum
+
+    dh, dl, dhh, dhl = dtab
+    nd = th.ndim
+    N = th.shape[grid_axis]
+    shape = [1] * nd
+    shape[grid_axis] = N
+    lo_p = max(0, -min(offsets))
+    hi_p = max(0, max(offsets))
+    pad = [(0, 0)] * nd
+    pad[grid_axis] = (lo_p, hi_p)
+    mode = "wrap" if periodic else "constant"
+    tph = jnp.pad(th, pad, mode=mode)
+    tpl = jnp.pad(tl, pad, mode=mode)
+    tphh, tphl = split12(tph)  # split once per apply, sliced per diagonal
+    acc_h = acc_c = None
+    for k, off in enumerate(offsets):
+        sl = [slice(None)] * nd
+        sl[grid_axis] = slice(lo_p + off, lo_p + off + N)
+        sl = tuple(sl)
+        xh, xl = tph[sl], tpl[sl]
+        xhh, xhl = tphh[sl], tphl[sl]
+        Dh = dh[k].reshape(shape)
+        Dl = dl[k].reshape(shape)
+        Dhh = dhh[k].reshape(shape)
+        Dhl = dhl[k].reshape(shape)
+        p = Dh * xh  # exact error via pre-split halves (FMA-free Dekker)
+        e = (((Dhh * xhh - p) + Dhh * xhl) + Dhl * xhh) + Dhl * xhl
+        e = e + (Dh * xl + Dl * xh)  # cross terms (dl·xl ~2⁻⁴⁸: dropped)
+        if acc_h is None:
+            acc_h, acc_c = p, e
+        else:
+            acc_h, e2 = two_sum(acc_h, p)
+            acc_c = acc_c + (e2 + e)
+    return quick_two_sum(acc_h, acc_c)
+
+
+def separable_laplace_apply_banded_dd(uh, ul, Mdd, Kdd, offsets, dim: int,
+                                      periodic=None):
+    """separable_laplace_apply_banded on a double-single (hi, lo) pair.
+
+    Mdd/Kdd[d] = split diagonal tables (ddmath.split_table_np) of direction d.
+    Returns the (hi, lo) result pair; combine with ddmath.dd_to_f64."""
+    from .ddmath import dd_add
+
+    per = periodic or (False,) * dim
+    ap = lambda t2, tabs, d: banded_axis_apply_dd(
+        t2[0], t2[1], tabs[d], offsets[d], dim - 1 - d, per[d])
+    if dim == 2:
+        a = ap((uh, ul), Mdd, 0)
+        v1 = ap(a, Kdd, 1)
+        v2 = ap(ap((uh, ul), Kdd, 0), Mdd, 1)
+        return dd_add(*v1, *v2)
+    a = ap((uh, ul), Mdd, 0)
+    b = ap(a, Mdd, 1)
+    v = ap(b, Kdd, 2)
+    v = dd_add(*v, *ap(ap(a, Kdd, 1), Mdd, 2))
+    v = dd_add(*v, *ap(ap(ap((uh, ul), Kdd, 0), Mdd, 1), Mdd, 2))
+    return v
+
+
 def merged_laplace_apply_windowed(u_grid, Nq, Dq, NqT, DqT, coeff6i,
                                   n_cells, degree: int, periodic, dim: int):
     """Deformed-geometry Laplace apply in window form: small shared per-cell
