@@ -87,6 +87,22 @@ def _band_x(plane, d_ref, n_diag: int):
     return acc
 
 
+def _band_x2(plane, da_ref, db_ref, n_diag: int):
+    """Two banded 1D applies (M and K tables) sharing ONE set of lane rolls:
+    the rolls are the VPU-expensive part (relayout), the mads are cheap."""
+    acc_a = acc_b = None
+    nx = plane.shape[-1]
+    p = (n_diag - 1) // 2
+    for k in range(n_diag):
+        shift = (p - k) % nx
+        rolled = pltpu.roll(plane, shift, 1)
+        ta = da_ref[k : k + 1, :] * rolled
+        tb = db_ref[k : k + 1, :] * rolled
+        acc_a = ta if acc_a is None else acc_a + ta
+        acc_b = tb if acc_b is None else acc_b + tb
+    return acc_a, acc_b
+
+
 def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             omega_ref, x1_ref, x3_ref, b_ref,
             dmx_ref, dkx_ref, my_ref, ky_ref,
@@ -118,8 +134,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         slot = i % 4
         for t in range(p):
             xpl = x3_ref[t]
-            ax = _band_x(xpl, dmx_ref, n_diag)
-            kx = _band_x(xpl, dkx_ref, n_diag)
+            ax, kx = _band_x2(xpl, dmx_ref, dkx_ref, n_diag)
             p1r[slot, t] = _dot(my_ref[:], ax, prec_a)
             p2r[slot, t] = (
                 _dot(ky_ref[:], ax, prec_a)
@@ -290,8 +305,8 @@ class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
-                 fdm_y: str = "dense", precision_a: str = "highest",
-                 precision_f: str = "highest"):
+                 fdm_y: str = "dense", precision_a: str = "high",
+                 precision_f: str = "default"):
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
         vector broadcasts on reshaped plane rows (the block-banded structure
         of G — ~2.4x fewer F-stage MXU FLOPs, but measured SLOWER on v5e:
