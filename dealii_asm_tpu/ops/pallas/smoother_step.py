@@ -109,7 +109,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
             out_ref,
             p1r, p2r, azr, carry,
-            *, m: int, p: int, n_win: int, n_wy: int,
+            *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             prec_a: str = "highest", prec_f: str = "highest"):
     # n_wy > 0 selects the windowed-VPU y-transform: gy_ref/gyt_ref then hold
     # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
@@ -134,7 +134,15 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         slot = i % 4
         for t in range(p):
             xpl = x3_ref[t]
-            ax, kx = _band_x2(xpl, dmx_ref, dkx_ref, n_diag)
+            if x_dense:
+                # x-apply as dense MXU dots (tables = M̂ₓᵀ/K̂ₓᵀ padded).
+                # Measured SLOWER on v5e at Q4/64³ (4.62 vs 4.10 ms/step):
+                # the 3-pass "high" dots cost more than 2p+1 lane rolls —
+                # kept as an option for higher degrees / wider bands
+                ax = _dot(xpl, dmx_ref[:], prec_a)
+                kx = _dot(xpl, dkx_ref[:], prec_a)
+            else:
+                ax, kx = _band_x2(xpl, dmx_ref, dkx_ref, n_diag)
             p1r[slot, t] = _dot(my_ref[:], ax, prec_a)
             p2r[slot, t] = (
                 _dot(ky_ref[:], ax, prec_a)
@@ -148,7 +156,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         aslot = i % 2
         for t in range(p):
             acc = None
-            for j in range(3 * p):  # ring planes p·w2−p+j, steps i−3..i−1
+            # ring planes p·w2−p+j, steps i−3..i−1; the band |c−r| ≤ p makes
+            # entries outside j ∈ [t, t+2p] structurally zero (table builder
+            # guard `abs(c_ - r_) <= p`) — skip them statically (25% of the
+            # A-stage's VPU mads)
+            for j in range(t, t + n_diag):
                 pslot = (i - 3 + j // p) % 4
                 row = j % p
                 term = (kzr_ref[ku, t, j] * p1r[pslot, row]
@@ -245,10 +257,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "prec", "interpret"))
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False):
-    ny, nx, m, p, n_win, n_wy = shape
+    ny, nx, m, p, n_win, n_wy, x_dense = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
+                             x_dense=bool(x_dense),
                              prec_a=prec[0], prec_f=prec[1])
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -305,7 +318,8 @@ class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
-                 fdm_y: str = "dense", precision_a: str = "high",
+                 fdm_y: str = "dense", x_apply: str = "banded",
+                 precision_a: str = "high",
                  precision_f: str = "default"):
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
         vector broadcasts on reshaped plane rows (the block-banded structure
@@ -358,15 +372,23 @@ class SmootherStepKernel:
         Myf = fy[:, None] * Myg * fy[None, :]
         Kyf = fy[:, None] * Kyg * fy[None, :]
 
-        # x-direction banded tables: d[k][i] = M[i, i + k − p], padded lanes
-        dmx = np.zeros((n_diag, nxp), np.float32)
-        dkx = np.zeros((n_diag, nxp), np.float32)
-        rows = np.arange(nx)
-        for k in range(n_diag):
-            cols = rows + k - p
-            okc = (cols >= 0) & (cols < nx)
-            dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
-            dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
+        if x_apply == "dense":
+            # x-apply runs as plane @ M̂ₓᵀ on the MXU (see _kernel): tables
+            # are the dense transposed 1D matrices, zero-padded to lane tiles
+            dmx = np.zeros((nxp, nxp), np.float32)
+            dkx = np.zeros((nxp, nxp), np.float32)
+            dmx[:nx, :nx] = Mxf.T
+            dkx[:nx, :nx] = Kxf.T
+        else:
+            # x-direction banded tables: d[k][i] = M[i, i + k − p], padded
+            dmx = np.zeros((n_diag, nxp), np.float32)
+            dkx = np.zeros((n_diag, nxp), np.float32)
+            rows = np.arange(nx)
+            for k in range(n_diag):
+                cols = rows + k - p
+                okc = (cols >= 0) & (cols < nx)
+                dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
+                dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
         # y-direction dense (padded)
         my_m = np.zeros((nyp, nyp), np.float32)
         ky_m = np.zeros((nyp, nyp), np.float32)
@@ -470,7 +492,8 @@ class SmootherStepKernel:
             jnp.asarray(padc(Gxt.T, nxp), tdt),
             lamyx_t,
         )
-        self.shape = (nyp, nxp, m, p, n_win, self._n_wy)
+        self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
+                      int(x_apply == "dense"))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.p = p
