@@ -153,12 +153,11 @@ def assemble_laplace_general(
     from ..mesh.grid import _tensor_weights
 
     wq = _tensor_weights([s.w] * dim)
-    J = mesh.jacobians(mapping_degree, s.q)
-    detj = np.linalg.det(J)
-    Jinv = np.linalg.inv(J)
-    coeff = np.einsum("cqde,cqfe->cqdf", Jinv, Jinv)
-    coeff *= (wq[None, :] * detj)[:, :, None, None]
-    A_loc = np.einsum("cqde,qld,qme->clm", coeff, B, B)
+    from ..ops.geometry import merged_det_coeff
+
+    Bj, spj = mesh.jacobian_factors(mapping_degree, s.q)
+    detj, coeff = merged_det_coeff(Bj, spj, wq, dim)
+    A_loc = np.einsum("cqde,qld,qme->clm", coeff, B, B, optimize=True)
 
     cd = np.asarray(dofs.cell_dofs, dtype=np.int64)
     C, L = cd.shape

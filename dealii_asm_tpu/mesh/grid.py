@@ -119,12 +119,10 @@ class StructuredMesh:
         lattice = _tensor_lattice(gll, self.dim)
         return self.physical_points(lattice)
 
-    def jacobians(self, mapping_degree: int, quad_pts_1d: np.ndarray) -> np.ndarray:
-        """Jacobians dx/dξ at the tensor quadrature points.
-
-        Returns (C, Q, dim, dim) with J[c,q,e,d] = ∂x_e/∂ξ_d where ξ is the unit
-        reference coordinate of the cell. Q = len(quad_pts_1d)**dim, x fastest.
-        """
+    def jacobian_factors(self, mapping_degree: int, quad_pts_1d: np.ndarray):
+        """(B, sp) with J[c,q,e,d] = Σ_l B[q,l,d]·sp[c,l,e] — the factors of
+        the Jacobian contraction, so callers can run it through XLA
+        (ops/geometry.py:merged_det_coeff) instead of host numpy."""
         sp = self.mapping_support_points(mapping_degree)  # (C, L, dim)
         from ..fem.lagrange import lagrange_values, lagrange_derivatives
 
@@ -133,7 +131,16 @@ class StructuredMesh:
         D = lagrange_derivatives(gll, quad_pts_1d)  # (q, m+1)
         # Gradient tensor B[q_flat, l_flat, d] via tensor products (x fastest).
         B = _tensor_gradient(N, D, self.dim)        # (Q, L, dim)
-        return np.einsum("qld,cle->cqed", B, sp)
+        return B, sp
+
+    def jacobians(self, mapping_degree: int, quad_pts_1d: np.ndarray) -> np.ndarray:
+        """Jacobians dx/dξ at the tensor quadrature points.
+
+        Returns (C, Q, dim, dim) with J[c,q,e,d] = ∂x_e/∂ξ_d where ξ is the unit
+        reference coordinate of the cell. Q = len(quad_pts_1d)**dim, x fastest.
+        """
+        B, sp = self.jacobian_factors(mapping_degree, quad_pts_1d)
+        return np.einsum("qld,cle->cqed", B, sp, optimize=True)
 
     def harmonic_cell_extents(self, n_q_1d: int = 2) -> np.ndarray:
         """(C, dim) quadrature-averaged distance between opposite face points.

@@ -392,8 +392,8 @@ class UnstructuredMesh:
                     len(cs), len(idx), dim)
         return sp
 
-    def jacobians(self, mapping_degree: int, quad_pts_1d: np.ndarray) -> np.ndarray:
-        """(C, Q, dim, dim) J[c,q,e,d] = ∂x_e/∂ξ_d at tensor quadrature points."""
+    def jacobian_factors(self, mapping_degree: int, quad_pts_1d: np.ndarray):
+        """(B, sp) with J[c,q,e,d] = Σ_l B[q,l,d]·sp[c,l,e] (see grid.py)."""
         from ..fem.lagrange import lagrange_derivatives, lagrange_values, gauss_lobatto_points
         from .grid import _tensor_gradient
 
@@ -402,7 +402,12 @@ class UnstructuredMesh:
         N = lagrange_values(gll, quad_pts_1d)
         D = lagrange_derivatives(gll, quad_pts_1d)
         B = _tensor_gradient(N, D, self.dim)  # (Q, L, dim)
-        return np.einsum("qld,cle->cqed", B, sp)
+        return B, sp
+
+    def jacobians(self, mapping_degree: int, quad_pts_1d: np.ndarray) -> np.ndarray:
+        """(C, Q, dim, dim) J[c,q,e,d] = ∂x_e/∂ξ_d at tensor quadrature points."""
+        B, sp = self.jacobian_factors(mapping_degree, quad_pts_1d)
+        return np.einsum("qld,cle->cqed", B, sp, optimize=True)
 
     def harmonic_cell_extents(self, n_q_1d: int = 2) -> np.ndarray:
         """(C, dim) quadrature-averaged distance between opposite faces

@@ -57,6 +57,77 @@ class GeometryData:
         return cache["_q_points"]
 
 
+def _inv_det_batched(J, dim: int, xp=np):
+    """(det, inv) of (..., dim, dim) matrices via cofactors (np or jnp).
+
+    Written array-module-generic so the same formulas serve the host fallback
+    and the jitted XLA pipeline below (TPU XLA has no f64 LU decomposition,
+    so jnp.linalg.inv is not an option in device-agnostic code)."""
+    if dim == 1:
+        det = J[..., 0, 0]
+        return det, 1.0 / J
+    if dim == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        det = a * d - b * c
+        inv = xp.stack([
+            xp.stack([d, -b], axis=-1),
+            xp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return det, inv
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    d, e, f = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    g, h, i = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv = xp.stack([
+        xp.stack([A, c * h - b * i, b * f - c * e], axis=-1),
+        xp.stack([B, a * i - c * g, c * d - a * f], axis=-1),
+        xp.stack([C, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2) / det[..., None, None]
+    return det, inv
+
+
+_PIPE_CACHE: dict = {}
+
+
+def merged_det_coeff(B: np.ndarray, sp: np.ndarray, wq: np.ndarray,
+                     dim: int):
+    """(detj, coeff) of the merged-geometry representation, computed as ONE
+    jitted XLA program on the host CPU backend.
+
+    J[c,q,e,d] = Σ_l B[q,l,d]·sp[c,l,e]; coeff = w_q |J| J⁻¹J⁻ᵀ.  This class
+    of VM ships an unvectorized reference BLAS (~58 MFLOP/s measured) and
+    numpy's strided cofactor arithmetic is allocation-bound — the identical
+    f64 pipeline under XLA CPU measured 170x faster (0.5 s vs 89 s for
+    24³ cells Q4 map-3).  Returns host numpy float64 arrays."""
+    import jax
+
+    from jax._src.config import enable_x64
+
+    key = dim
+    if key not in _PIPE_CACHE:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pipe(B, sp, wq):
+            J = jnp.einsum("qld,cle->cqed", B, sp)
+            det, Jinv = _inv_det_batched(J, dim, xp=jnp)
+            coeff = Jinv @ jnp.swapaxes(Jinv, -1, -2)
+            coeff = coeff * (wq[None, :] * det)[:, :, None, None]
+            return det, coeff
+
+        _PIPE_CACHE[key] = pipe
+    cpu = jax.devices("cpu")[0]
+    with enable_x64(True), jax.default_device(cpu):
+        det, coeff = _PIPE_CACHE[key](np.asarray(B, np.float64),
+                                      np.asarray(sp, np.float64),
+                                      np.asarray(wq, np.float64))
+        return np.asarray(det), np.asarray(coeff)
+
+
 def compute_geometry(
     mesh: StructuredMesh,
     n_q_1d: int,
@@ -85,14 +156,10 @@ def compute_geometry(
             _q_points_fn=q_points_fn,
         )
 
-    J = mesh.jacobians(mapping_degree, s.q)  # (C, Q, dim, dim)
-    detj = np.linalg.det(J)
+    B, sp = mesh.jacobian_factors(mapping_degree, s.q)
+    detj, coeff = merged_det_coeff(B, sp, wq, mesh.dim)
     if (detj <= 0).any():
         raise ValueError("mesh transform produced non-positive Jacobian determinants")
-    Jinv = np.linalg.inv(J)  # (C, Q, dim, dim), Jinv[c,q,d,e] = dξ_d/dx_e
-    # merged coefficient: w_q |J| J⁻¹ J⁻ᵀ (symmetric dim×dim)
-    coeff = np.einsum("cqde,cqfe->cqdf", Jinv, Jinv)
-    coeff *= (wq[None, :] * detj)[:, :, None, None]
     jxw = wq[None, :] * detj
     return GeometryData(
         kind="merged",

@@ -48,13 +48,14 @@ class GeneralLaplaceOperator:
         self._shape = s
 
         wq = _tensor_weights([s.w] * self.dim)
-        J = self.mesh.jacobians(mapping_degree, s.q)  # (C, Q, dim, dim)
-        detj = np.linalg.det(J)
+        from .geometry import merged_det_coeff
+
+        # one XLA-CPU program for J/det/inv/coeff (host BLAS is unvectorized
+        # on this class of VM; see geometry.merged_det_coeff)
+        Bj, spj = self.mesh.jacobian_factors(mapping_degree, s.q)
+        detj, coeff = merged_det_coeff(Bj, spj, wq, self.dim)
         if (detj <= 0).any():
             raise ValueError("non-positive Jacobian determinant")
-        Jinv = np.linalg.inv(J)
-        coeff = np.einsum("cqde,cqfe->cqdf", Jinv, Jinv)
-        coeff *= (wq[None, :] * detj)[:, :, None, None]
         self._jxw_np = wq[None, :] * detj
         self.coeff = jnp.asarray(coeff, dtype)
         self.jxw = jnp.asarray(self._jxw_np, dtype)
