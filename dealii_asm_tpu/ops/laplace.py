@@ -224,6 +224,26 @@ class LaplaceOperator:
                         jnp.asarray(t) for t in split_table_np(md)))
                     self.Kdd.append(tuple(
                         jnp.asarray(t) for t in split_table_np(kd)))
+            # fused Pallas dd vmult (ops/pallas/dd_vmult.py): the XLA dd
+            # composition materializes padded/split intermediates in HBM
+            # between its 8 banded axis applies (~13% of VPU peak measured);
+            # the slab kernels keep them in VMEM.  kernel="pallas-dd" forces
+            # it (interpret mode off-TPU, for tests).
+            self._dd_pallas = None
+            if (want_dd and self.dim == 3 and not any(self.mesh.periodic)
+                    and kernel in ("sumfac", "pallas-dd")):
+                try:
+                    backend = jax.default_backend()
+                    if backend in ("tpu", "axon"):
+                        from .pallas.dd_vmult import DDVmultKernel
+
+                        self._dd_pallas = DDVmultKernel(self)
+                    elif kernel == "pallas-dd":
+                        from .pallas.dd_vmult import DDVmultKernel
+
+                        self._dd_pallas = DDVmultKernel(self, interpret=True)
+                except Exception:
+                    self._dd_pallas = None
             # gradient-factored alternative form (kernel="stable"): measured
             # to have the SAME low-precision rounding behavior as the
             # Kronecker-sum form (the 1/h cancellation reappears in the
@@ -509,15 +529,21 @@ class LaplaceOperator:
                 # ~47-bit accuracy; the outer CG at rel 1e-5 through
                 # κ ≈ 1/h² needs ~33 (iteration counts verified identical).
                 from .ddmath import dd_from_f64, dd_to_f64
-                from .tensorops import separable_laplace_apply_banded_dd
 
-                ob = jax.lax.optimization_barrier
-                uh, ul = dd_from_f64(u0.reshape(self.grid_shape))
-                uh, ul = ob((uh, ul))
-                vh, vl = ob(separable_laplace_apply_banded_dd(
-                    uh, ul, self.Mdd, self.Kdd, self.band_offsets, self.dim,
-                    self.mesh.periodic))
-                dst = dd_to_f64(vh, vl).reshape(-1)
+                if self._dd_pallas is not None:
+                    uh, ul = dd_from_f64(u0)
+                    vh, vl = self._dd_pallas.vmult_dd(uh, ul)
+                    dst = dd_to_f64(vh, vl)
+                else:
+                    from .tensorops import separable_laplace_apply_banded_dd
+
+                    ob = jax.lax.optimization_barrier
+                    uh, ul = dd_from_f64(u0.reshape(self.grid_shape))
+                    uh, ul = ob((uh, ul))
+                    vh, vl = ob(separable_laplace_apply_banded_dd(
+                        uh, ul, self.Mdd, self.Kdd, self.band_offsets,
+                        self.dim, self.mesh.periodic))
+                    dst = dd_to_f64(vh, vl).reshape(-1)
             elif (self.kernel == "banded"
                   or np.dtype(self.dtype) == np.float64):
                 # optimization_barrier: with flat in/out, XLA layout

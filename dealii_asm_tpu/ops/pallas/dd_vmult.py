@@ -1,0 +1,318 @@
+"""Pallas TPU kernels: double-single (two-f32) separable banded Laplace vmult.
+
+The f64 outer-Krylov matvec (mixed-precision P8 architecture, reference
+/root/reference/element_centered_preconitioners_01.cc:780-792 — MG levels in
+float, outer solve in double) runs as Dekker/TwoSum double-single chains
+(ops/ddmath.py).  The XLA composition (tensorops.separable_laplace_apply_banded_dd)
+reaches only ~13% of VPU peak — it materializes padded/split intermediates in
+HBM between the 8 banded axis applies.  Here the same arithmetic runs on
+z-slabs resident in VMEM in three kernels:
+
+  x-dual   (ah,al,kh,kl) = (M̂x u, K̂x u): lane rolls, ONE operand split and
+           one set of rolls shared by both diagonal tables;
+  y-dual   (M̂y a, K̂y a) the same along sublanes;
+  y-single M̂y t;
+  z-triple v = K̂z b + M̂z c + M̂z d: banded z-contraction over 3-block input
+           windows with per-row scalar tables (SMEM), the three contractions
+           and the two dd additions fused in one HBM pass.
+
+Chain (tensorops.py:388-393): a = M̂x u, k = K̂x u; b = M̂y a, c = K̂y a,
+d = M̂y k; v = K̂z b + M̂z c + M̂z d.
+
+All arrays are front/back-padded by one z-block so the z-window index maps
+stay affine; lane/sublane padding is killed by zeros in the diagonal tables
+(as in smoother_step.py).  Restrictions: dim == 3, non-periodic, Cartesian
+separable (coeff None), bandwidth p ≤ BLK.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 8  # z-planes per grid step (sublane tile multiple)
+
+
+def _split12(a):
+    c = 4097.0 * a  # Veltkamp split, 2^12 + 1 (ops/ddmath.py:split12)
+    big = c - a
+    hi = c - big
+    return hi, a - hi
+
+
+def _two_sum(a, b):
+    s = a + b
+    bv = s - a
+    return s, (a - (s - bv)) + (b - bv)
+
+
+def _qtwo_sum(a, b):
+    s = a + b
+    return s, b - (s - a)
+
+
+def _band_roll_dual(xh, xl, xhh, xhl, tabs, n_diag, axis):
+    """Banded dd apply of one or two diagonal tables along ``axis`` of a
+    plane, sharing the rolls of the four split operand arrays.
+
+    tabs: list of (Dh, Dl, Dhh, Dhl) slicers: fns k -> broadcastable arrays.
+    Returns a list of (hi, lo) pairs, one per table."""
+    accs = [None] * len(tabs)
+    p = (n_diag - 1) // 2
+    n = xh.shape[axis]
+    for k in range(n_diag):
+        shift = (p - k) % n
+        rh = pltpu.roll(xh, shift, axis)
+        rl = pltpu.roll(xl, shift, axis)
+        rhh = pltpu.roll(xhh, shift, axis)
+        rhl = pltpu.roll(xhl, shift, axis)
+        for j, tab in enumerate(tabs):
+            Dh, Dl, Dhh, Dhl = (t(k) for t in tab)
+            prod = Dh * rh
+            e = (((Dhh * rhh - prod) + Dhh * rhl) + Dhl * rhh) + Dhl * rhl
+            e = e + (Dh * rl + Dl * rh)
+            if accs[j] is None:
+                accs[j] = (prod, e)
+            else:
+                ah, ac = accs[j]
+                ah, e2 = _two_sum(ah, prod)
+                accs[j] = (ah, ac + (e2 + e))
+    return [_qtwo_sum(h, c) for h, c in accs]
+
+
+def _kern_x_dual(xh_ref, xl_ref, mh_ref, ml_ref, mhh_ref, mhl_ref,
+                 kh_ref, kl_ref, khh_ref, khl_ref,
+                 ah_ref, al_ref, bh_ref, bl_ref, *, blk, n_diag):
+    mtab = tuple((lambda k, r=r: r[k : k + 1, :])
+                 for r in (mh_ref, ml_ref, mhh_ref, mhl_ref))
+    ktab = tuple((lambda k, r=r: r[k : k + 1, :])
+                 for r in (kh_ref, kl_ref, khh_ref, khl_ref))
+    for t in range(blk):
+        xh = xh_ref[t]
+        xl = xl_ref[t]
+        xhh, xhl = _split12(xh)
+        (a, al_), (b, bl_) = _band_roll_dual(
+            xh, xl, xhh, xhl, [mtab, ktab], n_diag, 1)
+        ah_ref[t] = a
+        al_ref[t] = al_
+        bh_ref[t] = b
+        bl_ref[t] = bl_
+
+
+def _kern_y(xh_ref, xl_ref, mh_ref, ml_ref, mhh_ref, mhl_ref,
+            kh_ref, kl_ref, khh_ref, khl_ref,
+            *out_refs, blk, n_diag, dual: bool):
+    mtab = tuple((lambda k, r=r: r[:, k : k + 1])
+                 for r in (mh_ref, ml_ref, mhh_ref, mhl_ref))
+    ktab = tuple((lambda k, r=r: r[:, k : k + 1])
+                 for r in (kh_ref, kl_ref, khh_ref, khl_ref))
+    tabs = [mtab, ktab] if dual else [mtab]
+    for t in range(blk):
+        xh = xh_ref[t]
+        xl = xl_ref[t]
+        xhh, xhl = _split12(xh)
+        outs = _band_roll_dual(xh, xl, xhh, xhl, tabs, n_diag, 0)
+        for j, (h, lo) in enumerate(outs):
+            out_refs[2 * j][t] = h
+            out_refs[2 * j + 1][t] = lo
+
+
+def _kern_z_triple(ktabs_ref, mtabs_ref,
+                   b0h, b1h, b2h, b0l, b1l, b2l,
+                   c0h, c1h, c2h, c0l, c1l, c2l,
+                   d0h, d1h, d2h, d0l, d1l, d2l,
+                   vh_ref, vl_ref, *, blk, n_diag):
+    """v rows = Σ_k Kz[r,k]·b[r+k−p] + Mz[r,k]·c[…] + Mz[r,k]·d[…].
+
+    ktabs/mtabs: SMEM (nz_pad, 4·n_diag) rows [Dh | Dl | Dhh | Dhl] per
+    diagonal; input planes come from the three block-offset refs (window
+    i−1, i, i+1 via front padding)."""
+    i = pl.program_id(0)
+    p = (n_diag - 1) // 2
+    refs = ((b0h, b1h, b2h), (b0l, b1l, b2l),
+            (c0h, c1h, c2h), (c0l, c1l, c2l),
+            (d0h, d1h, d2h), (d0l, d1l, d2l))
+
+    for t in range(blk):
+        r = (i + 1) * blk + t  # padded row of the out block (maps to i+1)
+        acc_h = acc_c = None
+        for k in range(n_diag):
+            rel = t + k - p + blk  # row into the 3-block window
+            ref_i, row = rel // blk, rel % blk
+            planes = [refs[q][ref_i][row] for q in range(6)]
+            for tab, (ph, plo) in ((ktabs_ref, (planes[0], planes[1])),
+                                   (mtabs_ref, (planes[2], planes[3])),
+                                   (mtabs_ref, (planes[4], planes[5]))):
+                Dh = tab[r, k]
+                Dl = tab[r, n_diag + k]
+                Dhh = tab[r, 2 * n_diag + k]
+                Dhl = tab[r, 3 * n_diag + k]
+                phh, phl = _split12(ph)
+                prod = Dh * ph
+                e = ((Dhh * phh - prod) + Dhh * phl + Dhl * phh) + Dhl * phl
+                e = e + (Dh * plo + Dl * ph)
+                if acc_h is None:
+                    acc_h, acc_c = prod, e
+                else:
+                    acc_h, e2 = _two_sum(acc_h, prod)
+                    acc_c = acc_c + (e2 + e)
+        vh, vl = _qtwo_sum(acc_h, acc_c)
+        vh_ref[t] = vh
+        vl_ref[t] = vl
+
+
+def _pad_tab_x(dtab4, nxp):
+    return [np.pad(np.asarray(t, np.float32), ((0, 0), (0, nxp - t.shape[1])))
+            for t in dtab4]
+
+
+class DDVmultKernel:
+    """v = A·u in double-single arithmetic as four fused Pallas passes."""
+
+    def __init__(self, op, interpret: bool = False):
+        mesh = op.mesh
+        if (op.dim != 3 or any(mesh.periodic) or op.coeff is not None
+                or not op.Mdd):
+            raise ValueError("DDVmultKernel: unsupported configuration")
+        p = op.degree
+        if p > BLK:
+            raise ValueError("DDVmultKernel: bandwidth exceeds block")
+        self.n_diag = 2 * p + 1
+        nz, ny, nx = (op.dofs.nodes_per_dim[2], op.dofs.nodes_per_dim[1],
+                      op.dofs.nodes_per_dim[0])
+        self.grid_shape = (nz, ny, nx)
+        nzp = -(-nz // BLK) * BLK
+        nyp = -(-ny // 8) * 8
+        nxp = -(-nx // 128) * 128
+        self.pad = ((BLK, nzp + BLK - nz), (0, nyp - ny), (0, nxp - nx))
+        self.nb = nzp // BLK + 2  # z-blocks incl. one front/back halo block
+        self.shape_p = (self.nb * BLK, nyp, nxp)
+        self.interpret = interpret
+
+        # tables: host f64 1D factors -> split diagonal tables, zero-padded
+        from ..ddmath import split_table_np
+        from ..tensorops import banded_diagonals
+
+        def diag4(M1d, n_pad, transpose):
+            d, _ = banded_diagonals(np.asarray(M1d, np.float64), p, False)
+            tabs = split_table_np(d)  # 4x (n_diag, N)
+            out = [np.pad(t.astype(np.float32),
+                          ((0, 0), (0, n_pad - t.shape[1]))) for t in tabs]
+            if transpose:
+                out = [t.T.copy() for t in out]
+            return [jnp.asarray(t) for t in out]
+
+        Mx, My, Mz = (np.asarray(m, np.float64) for m in op.M1d_global)
+        Kx, Ky, Kz = (np.asarray(k, np.float64) for k in op.K1d_global)
+        self.tx = diag4(Mx, nxp, False) + diag4(Kx, nxp, False)
+        self.ty = diag4(My, nyp, True) + diag4(Ky, nyp, True)
+
+        # z scalar tables: rows [Dh | Dl | Dhh | Dhl], front/back block pad
+        def ztab(M1d):
+            d, _ = banded_diagonals(np.asarray(M1d, np.float64), p, False)
+            tabs = split_table_np(d)  # 4x (n_diag, nz)
+            t = np.zeros((self.nb * BLK, 4 * self.n_diag), np.float32)
+            for q in range(4):
+                t[BLK : BLK + nz, q * self.n_diag : (q + 1) * self.n_diag] = (
+                    tabs[q].T)
+            return jnp.asarray(t)
+
+        self.tzk = ztab(Kz)
+        self.tzm = ztab(Mz)
+
+    # -- pallas calls --------------------------------------------------------
+
+    def _call_x(self, xh, xl):
+        blkspec = pl.BlockSpec((BLK,) + self.shape_p[1:], lambda i: (i, 0, 0))
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = jax.ShapeDtypeStruct(self.shape_p, jnp.float32)
+        kern = functools.partial(_kern_x_dual, blk=BLK, n_diag=self.n_diag)
+        return pl.pallas_call(
+            kern,
+            grid=(self.nb,),
+            in_specs=[blkspec, blkspec] + [vmem] * 8,
+            out_specs=[blkspec] * 4,
+            out_shape=[out] * 4,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xh, xl, *self.tx)
+
+    def _call_y(self, xh, xl, dual):
+        blkspec = pl.BlockSpec((BLK,) + self.shape_p[1:], lambda i: (i, 0, 0))
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = jax.ShapeDtypeStruct(self.shape_p, jnp.float32)
+        n_out = 4 if dual else 2
+        kern = functools.partial(_kern_y, blk=BLK, n_diag=self.n_diag,
+                                 dual=dual)
+        return pl.pallas_call(
+            kern,
+            grid=(self.nb,),
+            in_specs=[blkspec, blkspec] + [vmem] * 8,
+            out_specs=[blkspec] * n_out,
+            out_shape=[out] * n_out,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xh, xl, *self.ty)
+
+    def _call_z(self, b2, c2, d2):
+        # window refs at block offsets i-1, i, i+1 (front halo block makes
+        # all maps non-negative); out grid skips the halo blocks.  The 18
+        # window refs double-buffer, so blocks are tiled along y to fit VMEM
+        # (z-contraction has no cross-y coupling).
+        nbz = self.nb - 2
+        nyp, nxp = self.shape_p[1], self.shape_p[2]
+        ty = nyp
+        while 40 * BLK * ty * nxp * 4 > 80 * 1024 * 1024 or ty % 8:
+            for cand in range(ty - 1, 0, -1):
+                if nyp % cand == 0:
+                    ty = cand
+                    break
+        blk3 = (BLK, ty, nxp)
+        blk_o = pl.BlockSpec(blk3, lambda i, j: (i + 1, j, 0))
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wins = [pl.BlockSpec(blk3, lambda i, j, off=off: (i + off, j, 0))
+                for off in range(3)]
+        out = jax.ShapeDtypeStruct(self.shape_p, jnp.float32)
+        kern = functools.partial(_kern_z_triple, blk=BLK, n_diag=self.n_diag)
+        ins = []
+        for pair in (b2, c2, d2):
+            for arr in pair:
+                ins.extend([arr] * 3)
+        # interleave: refs arrive grouped (b0h,b1h,b2h,b0l,...) per signature
+        return pl.pallas_call(
+            kern,
+            grid=(nbz, nyp // ty),
+            in_specs=[smem, smem] + [w for _ in range(6) for w in wins],
+            out_specs=[blk_o, blk_o],
+            out_shape=[out, out],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )(self.tzk, self.tzm, *ins)
+
+    # -- public --------------------------------------------------------------
+
+    def vmult_dd(self, uh, ul):
+        """(uh, ul) -> (vh, vl), flat (n_dofs,) f32 pairs."""
+        nz, ny, nx = self.grid_shape
+        from jax._src.config import enable_x64 as _enable_x64
+
+        with _enable_x64(False):
+            xh = jnp.pad(uh.reshape(nz, ny, nx).astype(jnp.float32), self.pad)
+            xl = jnp.pad(ul.reshape(nz, ny, nx).astype(jnp.float32), self.pad)
+            ah, al, kh, kl = self._call_x(xh, xl)
+            bh, bl, ch, cl = self._call_y(ah, al, True)
+            dh, dl = self._call_y(kh, kl, False)
+            vh, vl = self._call_z((bh, bl), (ch, cl), (dh, dl))
+        sl = (slice(BLK, BLK + nz), slice(0, ny), slice(0, nx))
+        return (vh[sl].reshape(-1), vl[sl].reshape(-1))

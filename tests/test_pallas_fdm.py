@@ -91,3 +91,35 @@ class TestSmootherStepKernel:
         out = np.asarray(k.step(x, b, om, interpret=True))
         rel = np.abs(out - ref).max() / np.abs(ref).max()
         assert rel < 3e-2
+
+
+class TestDDVmultKernel:
+    @pytest.mark.parametrize("cells,p", [
+        ((4, 4, 4), 3),
+        ((5, 3, 4), 4),
+        ((2, 6, 3), 2),
+    ])
+    def test_matches_xla_dd_vmult(self, cells, p):
+        """kernel='pallas-dd' (interpret) ≡ the XLA double-single path to
+        dd accuracy — both are ~47-bit evaluations of the same f64 operator."""
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op_p = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
+        assert op_p._dd_pallas is not None
+        op_x = LaplaceOperator(dofs, dtype=jnp.float64)
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.standard_normal(dofs.n_dofs))
+        vp = np.asarray(op_p.vmult(u))
+        vx = np.asarray(op_x.vmult(u))
+        assert np.abs(vp - vx).max() <= 1e-11 * np.abs(vx).max()
+
+    def test_unsupported_falls_back(self):
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+
+        # periodic: constructor must not install the kernel (XLA path serves)
+        mesh = StructuredMesh(3, (4, 4, 4), periodic=(True, True, True))
+        dofs = DofHandler(mesh, 2)
+        op = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
+        assert op._dd_pallas is None
