@@ -406,6 +406,7 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         "n_dofs": dofs.n_dofs,
         "it": result.n_iterations if result.converged else 999,
         "converged": result.converged,
+        "time": solve_time,
         "solution": result.x,
         "table": table,
     }

@@ -244,6 +244,27 @@ class LaplaceOperator:
                         self._dd_pallas = DDVmultKernel(self, interpret=True)
                 except Exception:
                     self._dd_pallas = None
+            # f32 twin: exact f32 VPU products replace the 3-pass HIGHEST
+            # matmuls of the dense separable apply (the MG fine-level
+            # residual: 11.7 -> ~3 ms at 17M).  Tiny levels keep XLA.
+            self._f32_pallas = None
+            if (np.dtype(self.dtype) == np.float32 and self.dim == 3
+                    and not any(self.mesh.periodic)
+                    and kernel in ("sumfac", "pallas-f32")):
+                try:
+                    backend = jax.default_backend()
+                    if (backend in ("tpu", "axon")
+                            and dofs.n_dofs >= 100_000):
+                        from .pallas.dd_vmult import F32VmultKernel
+
+                        self._f32_pallas = F32VmultKernel(self)
+                    elif kernel == "pallas-f32":
+                        from .pallas.dd_vmult import F32VmultKernel
+
+                        self._f32_pallas = F32VmultKernel(self,
+                                                          interpret=True)
+                except Exception:
+                    self._f32_pallas = None
             # gradient-factored alternative form (kernel="stable"): measured
             # to have the SAME low-precision rounding behavior as the
             # Kronecker-sum form (the 1/h cancellation reappears in the
@@ -555,6 +576,8 @@ class LaplaceOperator:
                     ob(u0.reshape(self.grid_shape)), self.Mdiags, self.Kdiags,
                     self.band_offsets, self.dim,
                     self.mesh.periodic)).reshape(-1)
+            elif getattr(self, "_f32_pallas", None) is not None:
+                dst = self._f32_pallas.vmult(u0)
             else:
                 dst = separable_laplace_apply(
                     u0.reshape(self.grid_shape), self.M1d_global,

@@ -123,3 +123,23 @@ class TestDDVmultKernel:
         dofs = DofHandler(mesh, 2)
         op = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
         assert op._dd_pallas is None
+
+
+class TestF32VmultKernel:
+    @pytest.mark.parametrize("cells,p", [
+        ((4, 5, 3), 4),
+        ((6, 4, 4), 2),
+    ])
+    def test_matches_xla_f32_vmult(self, cells, p):
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op_p = LaplaceOperator(dofs, dtype=jnp.float32, kernel="pallas-f32")
+        assert op_p._f32_pallas is not None
+        op_x = LaplaceOperator(dofs, dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        vp = np.asarray(op_p.vmult(u))
+        vx = np.asarray(op_x.vmult(u))
+        assert np.abs(vp - vx).max() <= 1e-5 * np.abs(vx).max()
