@@ -624,6 +624,40 @@ class LaplaceOperator:
         """Un-jitted apply, for composition inside larger jitted programs."""
         return self._vmult_impl(u)
 
+    @property
+    def supports_dd(self) -> bool:
+        """True when vmult_dd is available (dd-pair outer Krylov loops)."""
+        return (bool(getattr(self, "Mdd", None)) and self.access == "lattice"
+                and self.coeff is None and self.stable_factors is None
+                and self.kernel != "banded")
+
+    def vmult_dd(self, uh, ul):
+        """A·u on a double-single pair (hi, lo f32) — the dd-CG matvec.
+
+        Same arithmetic as the f64 vmult's dd path but WITHOUT the
+        f64↔dd conversions and f64 constraint masking around it (each an
+        emulated-f64 pass over the vector; the all-dd outer CG keeps its
+        state in f32 pairs end-to-end).  Constrained rows are identity, as
+        in vmult (reference operator.h:1368-1430 semantics)."""
+        assert self.supports_dd
+        free = self._free_mask()
+        u0h = jnp.where(free, uh, 0.0).astype(jnp.float32)
+        u0l = jnp.where(free, ul, 0.0).astype(jnp.float32)
+        if self._dd_pallas is not None:
+            vh, vl = self._dd_pallas.vmult_dd(u0h, u0l)
+        else:
+            from .tensorops import separable_laplace_apply_banded_dd
+
+            ob = jax.lax.optimization_barrier
+            gh = u0h.reshape(self.grid_shape)
+            gl = u0l.reshape(self.grid_shape)
+            gh, gl = ob((gh, gl))
+            vh, vl = ob(separable_laplace_apply_banded_dd(
+                gh, gl, self.Mdd, self.Kdd, self.band_offsets,
+                self.dim, self.mesh.periodic))
+            vh, vl = vh.reshape(-1), vl.reshape(-1)
+        return jnp.where(free, vh, uh), jnp.where(free, vl, ul)
+
     def __call__(self, u):
         return self.vmult(u)
 

@@ -224,9 +224,147 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
     xf, it, conv, hist = run(x, r)
+    # ONE host round-trip for all scalars: through the remote tunnel each
+    # separate fetch costs ~35 ms (measured: int(it) + np.asarray(hist) added
+    # ~70 ms/solve — 30% of the 17M-DoF headline solve time)
+    import jax
+
+    it, conv, hist = jax.device_get((it, conv, hist))
     it = int(it)
     return SolveResult(xf, it, bool(conv),
-                       [float(v) for v in np.asarray(hist[: it + 1])])
+                       [float(v) for v in hist[: it + 1]])
+
+
+_CG_DD_CACHE: dict = {}
+
+
+def _dot_dd(ah, al, ch, cl):
+    """Inner product of double-single vectors, no emulated-f64 vector pass.
+
+    f32 products with the first-order cross terms, cascaded partial sums
+    with f32 chains ≤ 16 (worst-case chain error 16·2⁻²⁴ ≈ 1e-6; the tail
+    reduction runs in f64 on ~1M partials, ~0.1 ms at 17M elements).  CG's
+    coefficient dots tolerate far more; the ||r|| stopping test needs the
+    norm only to ~1e-3 of the threshold crossing."""
+    p = ah * ch + (ah * cl + al * ch)
+    K = 8192
+    n = p.shape[0]
+    if n <= 2 * K:
+        return p.astype(jnp.float64).sum()
+    pad = (-n) % K
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+    p = p.reshape(-1, K)
+    C = 16
+    padr = (-p.shape[0]) % C
+    if padr:
+        p = jnp.concatenate([p, jnp.zeros((padr, K), p.dtype)])
+    s = p.reshape(-1, C, K).sum(1)  # f32 chains of C
+    return s.astype(jnp.float64).sum(0).sum()
+
+
+def _cg_device_dd(op, b, M, control: ReductionControl, x0) -> SolveResult:
+    """CG with ALL vector state in double-single (hi/lo f32) pairs.
+
+    The P8 architecture (f64 outer Krylov over f32 MG levels) leaves the
+    outer vector ops — axpys, dots, casts, constraint masking — in emulated
+    f64 even after the matvec runs as the dd Pallas kernel (~12 ms/iteration
+    of emulation at 17M DoFs).  Keeping x/r/p as dd pairs makes every outer
+    op native f32 (ops/ddmath.py): same ~47-bit state accuracy, no f64
+    vector pass anywhere in the loop (b is split once, x merged once).
+    Iteration semantics identical to _cg_device (verified: same counts on
+    the golden configs and the 17M headline)."""
+    import jax
+    from jax import lax
+
+    from ..ops.ddmath import dd_axpy, dd_from_f64, dd_scalar_split, dd_to_f64
+
+    key = (op, M, control.tolerance, control.reduce, control.max_steps,
+           b.shape, str(b.dtype), x0 is not None)
+    run = _CG_DD_CACHE.get(key)
+    if run is None:
+        while len(_CG_DD_CACHE) >= 8:
+            _CG_DD_CACHE.pop(next(iter(_CG_DD_CACHE)))
+        tol, red, max_steps = (control.tolerance, control.reduce,
+                               control.max_steps)
+
+        def norm_dd(ah, al):
+            return jnp.sqrt(_dot_dd(ah, al, ah, al))
+
+        def run_impl(xh, xl, rh, rl):
+            res0 = norm_dd(rh, rl)
+            hist = jnp.zeros(max_steps + 1, res0.dtype).at[0].set(res0)
+            init_done = res0 <= tol
+            z = M(rh)
+            ph, pl = z, jnp.zeros_like(z)
+            rz = _dot_dd(rh, rl, z, jnp.zeros_like(z))
+
+            def cond(s):
+                return ~s[9]
+
+            def body(s):
+                xh, xl, rh, rl, ph, pl, rz, it, res, done, conv, hist = s
+                qh, ql = op.vmult_dd(ph, pl)
+                pAp = _dot_dd(ph, pl, qh, ql)
+                breakdown = pAp == 0.0
+                alpha = jnp.where(breakdown, 0.0, rz / jnp.where(
+                    breakdown, 1.0, pAp))
+                sp = dd_scalar_split(alpha)
+                sn = dd_scalar_split(-alpha)
+                xh2, xl2 = dd_axpy(*sp, ph, pl, xh, xl)
+                rh2, rl2 = dd_axpy(*sn, qh, ql, rh, rl)
+                xhn = jnp.where(breakdown, xh, xh2)
+                xln = jnp.where(breakdown, xl, xl2)
+                rhn = jnp.where(breakdown, rh, rh2)
+                rln = jnp.where(breakdown, rl, rl2)
+                resn = jnp.where(breakdown, res, norm_dd(rhn, rln))
+                itn = it + 1
+                hist = hist.at[itn].set(resn)
+                success = (resn <= tol) | (resn < red * res0)
+                failure = itn >= max_steps
+                donen = breakdown | success | failure
+
+                def cont(args):
+                    rhn, rln, ph, pl, rz = args
+                    z = M(rhn)
+                    rzn = _dot_dd(rhn, rln, z, jnp.zeros_like(z))
+                    beta = rzn / rz
+                    sb = dd_scalar_split(beta)
+                    pn_h, pn_l = dd_axpy(*sb, ph, pl, z, jnp.zeros_like(z))
+                    return pn_h, pn_l, rzn
+
+                phn, pln, rzn = lax.cond(
+                    donen, lambda a: (a[2], a[3], a[4]), cont,
+                    (rhn, rln, ph, pl, rz))
+                return (xhn, xln, rhn, rln, phn, pln, rzn, itn, resn,
+                        donen, success & ~breakdown, hist)
+
+            s0 = (xh, xl, rh, rl, ph, pl, rz, jnp.int32(0), res0,
+                  init_done, init_done, hist)
+            out = lax.while_loop(cond, body, s0)
+            return dd_to_f64(out[0], out[1]), out[7], out[10], out[11]
+
+        run = jax.jit(run_impl)
+        _CG_DD_CACHE[key] = run
+
+    bh, bl = dd_from_f64(b)
+    if x0 is None:
+        xh = jnp.zeros_like(bh)
+        xl = jnp.zeros_like(bl)
+        rh, rl = bh, bl
+    else:
+        from ..ops.ddmath import dd_axpy as _axpy, dd_scalar_split as _split
+
+        xh, xl = dd_from_f64(x0.astype(b.dtype))
+        qh, ql = op.vmult_dd(xh, xl)
+        rh, rl = _axpy(*_split(jnp.float64(-1.0)), qh, ql, bh, bl)
+    xf, it, conv, hist = run(xh, xl, rh, rl)
+    import jax as _jax
+
+    it, conv, hist = _jax.device_get((it, conv, hist))
+    it = int(it)
+    return SolveResult(xf, it, bool(conv),
+                       [float(v) for v in hist[: it + 1]])
 
 
 def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
@@ -258,6 +396,19 @@ def cg(A, b, M=None, control: ReductionControl | None = None, x0=None,
         else:
             import jax
 
+            # all-dd outer loop: engages exactly on the P8 mixed-precision
+            # architecture (f64 rhs, operator with a dd matvec, f32-level
+            # preconditioner behind a PrecisionAdapter)
+            op = getattr(A, "__self__", None)
+            madp = getattr(M, "__self__", None)
+            if (b.dtype == jnp.float64 and op is not None
+                    and getattr(op, "supports_dd", False)
+                    and madp is not None
+                    and getattr(madp, "inner_dtype", None) == jnp.float32):
+                try:
+                    return _cg_device_dd(op, b, M, control, x0)
+                except jax.errors.JAXTypeError:
+                    pass
             try:
                 return _cg_device(A, b, M, control, x0)
             except jax.errors.JAXTypeError:

@@ -98,3 +98,70 @@ def test_chebyshev_fourth_kind_residual_polynomial():
         # step() from the vmult result must keep improving
         x2 = cheb.step(x, b)
         assert np.linalg.norm(np.asarray(xstar - x2)) < np.linalg.norm(err)
+
+
+class TestDDCG:
+    """All-dd outer CG (krylov._cg_device_dd): engages on the P8 architecture
+    (f64 rhs + dd-capable operator + f32 preconditioner behind an adapter)
+    and must reproduce the f64 device CG's iterations and solution."""
+
+    def _setup(self, cells=(6, 5, 4), p=2):
+        from dealii_asm_tpu.fem.dofs import DofHandler
+        from dealii_asm_tpu.mesh.grid import StructuredMesh
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.precond.adapter import PrecisionAdapter
+        from dealii_asm_tpu.precond.diagonal import DiagonalPreconditioner
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op = LaplaceOperator(dofs, dtype=jnp.float64)
+        assert op.supports_dd
+        op32 = LaplaceOperator(dofs, dtype=jnp.float32)
+        M = PrecisionAdapter(DiagonalPreconditioner(op32), jnp.float32)
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal(dofs.n_dofs))
+        b = jnp.where(op.constrained if hasattr(op, "constrained")
+                      else jnp.zeros_like(b, bool), 0.0, b)
+        return op, M, b
+
+    def test_matches_f64_device_cg(self):
+        from dealii_asm_tpu.solvers import krylov
+
+        op, M, b = self._setup()
+        control = ReductionControl(max_steps=200, tolerance=1e-12,
+                                   reduce=1e-8)
+        res_dd = krylov._cg_device_dd(op, b, M.vmult, control, None)
+        res_64 = krylov._cg_device(op.vmult, b, M.vmult, control, None)
+        assert res_dd.converged and res_64.converged
+        assert res_dd.n_iterations == res_64.n_iterations
+        x_dd = np.asarray(res_dd.x)
+        x_64 = np.asarray(res_64.x)
+        assert np.abs(x_dd - x_64).max() <= 1e-9 * np.abs(x_64).max()
+
+    def test_dispatch_engages(self, monkeypatch):
+        from dealii_asm_tpu.solvers import krylov
+
+        op, M, b = self._setup(cells=(4, 4, 3))
+        hits = []
+        orig = krylov._cg_device_dd
+
+        def spy(*a, **k):
+            hits.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(krylov, "_cg_device_dd", spy)
+        res = krylov.cg(op.vmult, b, M=M.vmult,
+                        control=ReductionControl(max_steps=200,
+                                                 tolerance=1e-10,
+                                                 reduce=1e-6))
+        assert hits and res.converged
+
+    def test_vmult_dd_matches_f64_vmult(self):
+        from dealii_asm_tpu.ops.ddmath import dd_from_f64, dd_to_f64
+
+        op, M, b = self._setup(cells=(5, 4, 4), p=3)
+        u = b / jnp.linalg.norm(b)
+        vh, vl = op.vmult_dd(*dd_from_f64(u))
+        v_dd = np.asarray(dd_to_f64(vh, vl))
+        v_64 = np.asarray(op.vmult(u))
+        assert np.abs(v_dd - v_64).max() <= 1e-11 * np.abs(v_64).max()
