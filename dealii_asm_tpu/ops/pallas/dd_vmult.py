@@ -66,7 +66,7 @@ def _band_roll_dual(xh, xl, xhh, xhl, tabs, n_diag, axis):
     p = (n_diag - 1) // 2
     n = xh.shape[axis]
     for k in range(n_diag):
-        shift = (p - k) % n
+        shift = np.int32((p - k) % n)  # i32 even under an x64 trace context
         rh = pltpu.roll(xh, shift, axis)
         rl = pltpu.roll(xl, shift, axis)
         rhh = pltpu.roll(xhh, shift, axis)
@@ -120,6 +120,110 @@ def _kern_y(xh_ref, xl_ref, mh_ref, ml_ref, mhh_ref, mhl_ref,
         for j, (h, lo) in enumerate(outs):
             out_refs[2 * j][t] = h
             out_refs[2 * j + 1][t] = lo
+
+
+def _dd_band_accum(accs, xh, xl, tabs, n_diag, axis):
+    """Accumulate banded dd applies of (xh, xl) by each table into accs.
+
+    Split-after-roll variant of ``_band_roll_dual``: rolls only the two
+    operand arrays per diagonal and re-splits the rolled hi in-register
+    (3 VPU flops) — rolls are the expensive part (cross-lane relayout),
+    halving them wins over re-splitting.  accs entries may be None (fresh)
+    or (hi, compensation) pairs from a previous input (chain continuation),
+    so two banded applies sharing one output (e.g. K̂y a + M̂y k) merge into
+    ONE TwoSum chain with no final dd-add."""
+    p = (n_diag - 1) // 2
+    n = xh.shape[axis]
+    for k in range(n_diag):
+        shift = np.int32((p - k) % n)
+        rh = pltpu.roll(xh, shift, axis)
+        rl = pltpu.roll(xl, shift, axis)
+        rhh, rhl = _split12(rh)
+        for j, tab in enumerate(tabs):
+            Dh, Dl, Dhh, Dhl = (t(k) for t in tab)
+            prod = Dh * rh
+            e = (((Dhh * rhh - prod) + Dhh * rhl) + Dhl * rhh) + Dhl * rhl
+            e = e + (Dh * rl + Dl * rh)
+            if accs[j] is None:
+                accs[j] = (prod, e)
+            else:
+                ah, ac = accs[j]
+                ah, e2 = _two_sum(ah, prod)
+                accs[j] = (ah, ac + (e2 + e))
+    return accs
+
+
+def _kern_xy(xh_ref, xl_ref,
+             mxh, mxl, mxhh, mxhl, kxh, kxl, kxhh, kxhl,
+             myh, myl, myhh, myhl, kyh, kyl, kyhh, kyhl,
+             bh_ref, bl_ref, sh_ref, sl_ref, *, blk, n_diag):
+    """Fused x+y transform planes: b = M̂y M̂x x,  s = K̂y M̂x x + M̂y K̂x x.
+
+    Both transforms are within-plane (no z coupling), so one kernel keeps the
+    x-stage intermediates (a = M̂x x, k = K̂x x) in registers/VMEM — the
+    4-pass chain wrote and re-read them through HBM.  The two y-streams that
+    share the z-side M̂z table downstream (c = K̂y a and d = M̂y k) accumulate
+    into ONE dd chain s, so the z-pass contracts two streams, not three."""
+    mxtab = tuple((lambda k, r=r: r[k : k + 1, :])
+                  for r in (mxh, mxl, mxhh, mxhl))
+    kxtab = tuple((lambda k, r=r: r[k : k + 1, :])
+                  for r in (kxh, kxl, kxhh, kxhl))
+    mytab = tuple((lambda k, r=r: r[:, k : k + 1])
+                  for r in (myh, myl, myhh, myhl))
+    kytab = tuple((lambda k, r=r: r[:, k : k + 1])
+                  for r in (kyh, kyl, kyhh, kyhl))
+    for t in range(blk):
+        xh = xh_ref[t]
+        xl = xl_ref[t]
+        accs = _dd_band_accum([None, None], xh, xl, [mxtab, kxtab], n_diag, 1)
+        (ah_, al_) = _qtwo_sum(*accs[0])
+        (kh_, kl_) = _qtwo_sum(*accs[1])
+        accs = _dd_band_accum([None, None], ah_, al_, [mytab, kytab],
+                              n_diag, 0)
+        accs[1:] = _dd_band_accum(accs[1:], kh_, kl_, [mytab], n_diag, 0)
+        bh, bl = _qtwo_sum(*accs[0])
+        sh, sl = _qtwo_sum(*accs[1])
+        bh_ref[t] = bh
+        bl_ref[t] = bl
+        sh_ref[t] = sh
+        sl_ref[t] = sl
+
+
+def _kern_z_dual(ktabs_ref, mtabs_ref,
+                 b0h, b1h, b2h, b0l, b1l, b2l,
+                 s0h, s1h, s2h, s0l, s1l, s2l,
+                 vh_ref, vl_ref, *, blk, n_diag):
+    """v rows = Σ_k Kz[r,k]·b[r+k−p] + Mz[r,k]·s[…]  (s = c + d merged)."""
+    i = pl.program_id(0)
+    p = (n_diag - 1) // 2
+    refs = ((b0h, b1h, b2h), (b0l, b1l, b2l),
+            (s0h, s1h, s2h), (s0l, s1l, s2l))
+
+    for t in range(blk):
+        r = (i + 1) * blk + t
+        acc_h = acc_c = None
+        for k in range(n_diag):
+            rel = t + k - p + blk
+            ref_i, row = rel // blk, rel % blk
+            planes = [refs[q][ref_i][row] for q in range(4)]
+            for tab, (ph, plo) in ((ktabs_ref, (planes[0], planes[1])),
+                                   (mtabs_ref, (planes[2], planes[3]))):
+                Dh = tab[r, k]
+                Dl = tab[r, n_diag + k]
+                Dhh = tab[r, 2 * n_diag + k]
+                Dhl = tab[r, 3 * n_diag + k]
+                phh, phl = _split12(ph)
+                prod = Dh * ph
+                e = ((Dhh * phh - prod) + Dhh * phl + Dhl * phh) + Dhl * phl
+                e = e + (Dh * plo + Dl * ph)
+                if acc_h is None:
+                    acc_h, acc_c = prod, e
+                else:
+                    acc_h, e2 = _two_sum(acc_h, prod)
+                    acc_c = acc_c + (e2 + e)
+        vh, vl = _qtwo_sum(acc_h, acc_c)
+        vh_ref[t] = vh
+        vl_ref[t] = vl
 
 
 def _kern_z_triple(ktabs_ref, mtabs_ref,
@@ -263,6 +367,60 @@ class DDVmultKernel:
             interpret=self.interpret,
         )(xh, xl, *self.ty)
 
+    def _call_xy(self, xh, xl):
+        # one z-plane per grid step: the fused x+y dd chains keep ~20 plane
+        # values live; at BLK=8 unrolled planes Mosaic spills ~100 MB of
+        # VMEM (measured) and the compile OOMs.
+        xyblk = 1
+        blkspec = pl.BlockSpec((xyblk,) + self.shape_p[1:],
+                               lambda i: (i, 0, 0))
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = jax.ShapeDtypeStruct(self.shape_p, jnp.float32)
+        kern = functools.partial(_kern_xy, blk=xyblk, n_diag=self.n_diag)
+        return pl.pallas_call(
+            kern,
+            grid=(self.shape_p[0] // xyblk,),
+            in_specs=[blkspec, blkspec] + [vmem] * 16,
+            out_specs=[blkspec] * 4,
+            out_shape=[out] * 4,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xh, xl, *self.tx, *self.ty)
+
+    def _call_z2(self, b2, s2):
+        nbz = self.nb - 2
+        nyp, nxp = self.shape_p[1], self.shape_p[2]
+        ty = nyp
+        while 28 * BLK * ty * nxp * 4 > 80 * 1024 * 1024 or ty % 8:
+            for cand in range(ty - 1, 0, -1):
+                if nyp % cand == 0:
+                    ty = cand
+                    break
+        blk3 = (BLK, ty, nxp)
+        blk_o = pl.BlockSpec(blk3, lambda i, j: (i + 1, j, 0))
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wins = [pl.BlockSpec(blk3, lambda i, j, off=off: (i + off, j, 0))
+                for off in range(3)]
+        out = jax.ShapeDtypeStruct(self.shape_p, jnp.float32)
+        kern = functools.partial(_kern_z_dual, blk=BLK, n_diag=self.n_diag)
+        ins = []
+        for pair in (b2, s2):
+            for arr in pair:
+                ins.extend([arr] * 3)
+        return pl.pallas_call(
+            kern,
+            grid=(nbz, nyp // ty),
+            in_specs=[smem, smem] + [w for _ in range(4) for w in wins],
+            out_specs=[blk_o, blk_o],
+            out_shape=[out, out],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )(self.tzk, self.tzm, *ins)
+
     def _call_z(self, b2, c2, d2):
         # window refs at block offsets i-1, i, i+1 (front halo block makes
         # all maps non-negative); out grid skips the halo blocks.  The 18
@@ -302,18 +460,27 @@ class DDVmultKernel:
 
     # -- public --------------------------------------------------------------
 
-    def vmult_dd(self, uh, ul):
-        """(uh, ul) -> (vh, vl), flat (n_dofs,) f32 pairs."""
+    def vmult_dd(self, uh, ul, fused: bool = True):
+        """(uh, ul) -> (vh, vl), flat (n_dofs,) f32 pairs.
+
+        fused=True (default): 2-pass chain — one xy kernel (x-stage
+        intermediates never touch HBM; the two M̂z-bound y-streams merge
+        into one s = c + d accumulator) + a dual-stream z contraction.
+        fused=False keeps the original 4-pass chain (A/B reference)."""
         nz, ny, nx = self.grid_shape
         from jax._src.config import enable_x64 as _enable_x64
 
         with _enable_x64(False):
             xh = jnp.pad(uh.reshape(nz, ny, nx).astype(jnp.float32), self.pad)
             xl = jnp.pad(ul.reshape(nz, ny, nx).astype(jnp.float32), self.pad)
-            ah, al, kh, kl = self._call_x(xh, xl)
-            bh, bl, ch, cl = self._call_y(ah, al, True)
-            dh, dl = self._call_y(kh, kl, False)
-            vh, vl = self._call_z((bh, bl), (ch, cl), (dh, dl))
+            if fused:
+                bh, bl, sh, sl_ = self._call_xy(xh, xl)
+                vh, vl = self._call_z2((bh, bl), (sh, sl_))
+            else:
+                ah, al, kh, kl = self._call_x(xh, xl)
+                bh, bl, ch, cl = self._call_y(ah, al, True)
+                dh, dl = self._call_y(kh, kl, False)
+                vh, vl = self._call_z((bh, bl), (ch, cl), (dh, dl))
         sl = (slice(BLK, BLK + nz), slice(0, ny), slice(0, nx))
         return (vh[sl].reshape(-1), vl[sl].reshape(-1))
 
@@ -331,7 +498,7 @@ def _band_roll_f32(x, tabs, n_diag, axis):
     p = (n_diag - 1) // 2
     n = x.shape[axis]
     for k in range(n_diag):
-        rolled = pltpu.roll(x, (p - k) % n, axis)
+        rolled = pltpu.roll(x, np.int32((p - k) % n), axis)
         for j, tab in enumerate(tabs):
             term = tab(k) * rolled
             accs[j] = term if accs[j] is None else accs[j] + term

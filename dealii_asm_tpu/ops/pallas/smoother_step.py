@@ -103,6 +103,33 @@ def _band_x2(plane, da_ref, db_ref, n_diag: int):
     return acc_a, acc_b
 
 
+def _band_y2(plane, da_ref, db_ref, n_diag: int):
+    """Two banded 1D applies along sublanes sharing one set of rolls:
+    out[r,:] = Σ_k D[r,k]·plane[r+k−p,:] with column tables (ny, n_diag)."""
+    acc_a = acc_b = None
+    nyv = plane.shape[0]
+    p = (n_diag - 1) // 2
+    for k in range(n_diag):
+        shift = (p - k) % nyv
+        rolled = pltpu.roll(plane, shift, 0)
+        ta = da_ref[:, k : k + 1] * rolled
+        tb = db_ref[:, k : k + 1] * rolled
+        acc_a = ta if acc_a is None else acc_a + ta
+        acc_b = tb if acc_b is None else acc_b + tb
+    return acc_a, acc_b
+
+
+def _band_y1(plane, da_ref, n_diag: int):
+    acc = None
+    nyv = plane.shape[0]
+    p = (n_diag - 1) // 2
+    for k in range(n_diag):
+        shift = (p - k) % nyv
+        term = da_ref[:, k : k + 1] * pltpu.roll(plane, shift, 0)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             omega_ref, x1_ref, x3_ref, b_ref,
             dmx_ref, dkx_ref, my_ref, ky_ref,
@@ -110,6 +137,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             out_ref,
             p1r, p2r, azr, carry,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
+            y_banded: bool = False,
             prec_a: str = "highest", prec_f: str = "highest"):
     # n_wy > 0 selects the windowed-VPU y-transform: gy_ref/gyt_ref then hold
     # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
@@ -143,10 +171,20 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                 kx = _dot(xpl, dkx_ref[:], prec_a)
             else:
                 ax, kx = _band_x2(xpl, dmx_ref, dkx_ref, n_diag)
-            p1r[slot, t] = _dot(my_ref[:], ax, prec_a)
-            p2r[slot, t] = (
-                _dot(ky_ref[:], ax, prec_a)
-                + _dot(my_ref[:], kx, prec_a))
+            if y_banded:
+                # M̂y/K̂y have bandwidth 2p+1: 2p+1 sublane rolls + column
+                # mads (exact f32 on the VPU) replace three dense MXU dots
+                # — at "high" precision those are 9 bf16 passes per plane
+                # and dominate the P-stage.
+                my_ax, ky_ax = _band_y2(ax, my_ref, ky_ref, n_diag)
+                my_kx = _band_y1(kx, my_ref, n_diag)
+                p1r[slot, t] = my_ax
+                p2r[slot, t] = ky_ax + my_kx
+            else:
+                p1r[slot, t] = _dot(my_ref[:], ax, prec_a)
+                p2r[slot, t] = (
+                    _dot(ky_ref[:], ax, prec_a)
+                    + _dot(my_ref[:], kx, prec_a))
 
     # ---- A-stage: residual rows p·(i−2) .. p·(i−2)+p−1 ---------------------
     @pl.when((i >= 2) & (i <= n_win + 2))
@@ -257,11 +295,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "prec", "interpret"))
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False):
-    ny, nx, m, p, n_win, n_wy, x_dense = shape
+    ny, nx, m, p, n_win, n_wy, x_dense, y_banded = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
-                             x_dense=bool(x_dense),
+                             x_dense=bool(x_dense), y_banded=bool(y_banded),
                              prec_a=prec[0], prec_f=prec[1])
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -319,6 +357,7 @@ class SmootherStepKernel:
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
                  fdm_y: str = "dense", x_apply: str = "banded",
+                 y_apply: str = "banded",
                  precision_a: str = "high",
                  precision_f: str = "default"):
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
@@ -389,11 +428,23 @@ class SmootherStepKernel:
                 okc = (cols >= 0) & (cols < nx)
                 dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
                 dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
-        # y-direction dense (padded)
-        my_m = np.zeros((nyp, nyp), np.float32)
-        ky_m = np.zeros((nyp, nyp), np.float32)
-        my_m[:ny, :ny] = Myf
-        ky_m[:ny, :ny] = Kyf
+        if y_apply == "banded":
+            # column tables D[r, k] = M[r, r + k − p]; zeros kill wrapped
+            # sublane rows and the y padding
+            my_m = np.zeros((nyp, n_diag), np.float32)
+            ky_m = np.zeros((nyp, n_diag), np.float32)
+            rows_y = np.arange(ny)
+            for k in range(n_diag):
+                cols = rows_y + k - p
+                okc = (cols >= 0) & (cols < ny)
+                my_m[rows_y[okc], k] = Myf[rows_y[okc], cols[okc]]
+                ky_m[rows_y[okc], k] = Kyf[rows_y[okc], cols[okc]]
+        else:
+            # y-direction dense (padded)
+            my_m = np.zeros((nyp, nyp), np.float32)
+            ky_m = np.zeros((nyp, nyp), np.float32)
+            my_m[:ny, :ny] = Myf
+            ky_m[:ny, :ny] = Kyf
         # z-row tables, fz folded both sides: (n_win+1, p, 3p)
         kzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
         mzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
@@ -493,7 +544,7 @@ class SmootherStepKernel:
             lamyx_t,
         )
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
-                      int(x_apply == "dense"))
+                      int(x_apply == "dense"), int(y_apply == "banded"))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.p = p

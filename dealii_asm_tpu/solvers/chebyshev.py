@@ -136,13 +136,20 @@ class ChebyshevPreconditioner:
 
     # -- first kind ----------------------------------------------------------
 
-    def _first_kind(self, x, b):
+    def _first_kind(self, x, b, zero_guess=False):
         theta, delta = self.theta, self.delta
-        if self.degree == 1 and self.fused_step is not None:
-            return self.fused_step(x, b, 1.0 / theta)
-        r = b - self.A(x)
-        p = self.M(r) * (1.0 / theta)
-        x = x + p
+        if zero_guess:
+            # x = 0: the residual IS b — skip the operator apply entirely
+            # (on the fused kernel that is the whole P/A pipeline, ~half
+            # the step cost; pre-smoothing hits this on every level).
+            p = self.M(b) * (1.0 / theta)
+            x = p
+        else:
+            if self.degree == 1 and self.fused_step is not None:
+                return self.fused_step(x, b, 1.0 / theta)
+            r = b - self.A(x)
+            p = self.M(r) * (1.0 / theta)
+            x = x + p
         rhok = delta / theta
         for _ in range(1, self.degree):
             r = b - self.A(x)
@@ -156,12 +163,15 @@ class ChebyshevPreconditioner:
 
     # -- fourth kind (Lottes) -------------------------------------------------
 
-    def _fourth_kind(self, x, b):
+    def _fourth_kind(self, x, b, zero_guess=False):
         lam = self.beta_range
-        if self.degree == 1 and self.fused_step is not None:
+        if zero_guess:
+            d = self.M(b) * (4.0 / (3.0 * lam))
+        elif self.degree == 1 and self.fused_step is not None:
             return self.fused_step(x, b, 4.0 / (3.0 * lam))
-        r = b - self.A(x)
-        d = self.M(r) * (4.0 / (3.0 * lam))
+        else:
+            r = b - self.A(x)
+            d = self.M(r) * (4.0 / (3.0 * lam))
         for k in range(1, self.degree):
             x = x + d
             r = b - self.A(x)
@@ -170,13 +180,13 @@ class ChebyshevPreconditioner:
             )
         return x + d
 
-    def _apply(self, x, b):
+    def _apply(self, x, b, zero_guess=False):
         if self.polynomial_type in ("1st kind", "first_kind", "first"):
-            return self._first_kind(x, b)
-        return self._fourth_kind(x, b)
+            return self._first_kind(x, b, zero_guess)
+        return self._fourth_kind(x, b, zero_guess)
 
     def vmult(self, b):
-        return self._apply(jnp.zeros_like(b), b)
+        return self._apply(jnp.zeros_like(b), b, zero_guess=True)
 
     def step(self, x, b):
         return self._apply(x, b)
@@ -223,12 +233,13 @@ class RelaxationPreconditioner:
         return x
 
     def vmult(self, b):
+        # zero initial guess: the first step is ω·M(b) — no operator apply
+        # (and no fused residual pipeline) needed.
+        x = self.omega * self.M(b)
         if self.fused_step is not None:
-            x = jnp.zeros_like(b)
-            for _ in range(self.n_iterations):
+            for _ in range(1, self.n_iterations):
                 x = self.fused_step(x, b, self.omega)
             return x
-        x = self.omega * self.M(b)
         for _ in range(1, self.n_iterations):
             x = x + self.omega * self.M(b - self.A(x))
         return x

@@ -20,6 +20,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_enable_x64", True)  # dd tables need f64 factors
     import jax.numpy as jnp
 
     from dealii_asm_tpu.fem.dofs import DofHandler
@@ -30,9 +31,10 @@ def main():
     cells, degree = 64, 4
     mesh = StructuredMesh(3, (cells,) * 3)
     dofs = DofHandler(mesh, degree)
-    op = LaplaceOperator(dofs, dtype=jnp.float32)  # factors only
-    dd = DDVmultKernel(op)
-    f32k = F32VmultKernel(op)
+    op = LaplaceOperator(dofs, dtype=jnp.float64)
+    op32 = LaplaceOperator(dofs, dtype=jnp.float32)
+    dd = op._dd_pallas or DDVmultKernel(op)
+    f32k = F32VmultKernel(op32)
 
     rng = np.random.default_rng(0)
     shape_p = dd.shape_p

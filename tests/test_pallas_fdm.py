@@ -91,6 +91,11 @@ class TestSmootherStepKernel:
         out = np.asarray(k.step(x, b, om, interpret=True))
         rel = np.abs(out - ref).max() / np.abs(ref).max()
         assert rel < 3e-2
+        # dense-MXU y-apply option stays equivalent (banded is the default)
+        kd = SmootherStepKernel(op, asm, y_apply="dense")
+        outd = np.asarray(kd.step(x, b, om, interpret=True))
+        reld = np.abs(outd - ref).max() / np.abs(ref).max()
+        assert reld < 3e-2
 
 
 class TestDDVmultKernel:
@@ -123,6 +128,25 @@ class TestDDVmultKernel:
         dofs = DofHandler(mesh, 2)
         op = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
         assert op._dd_pallas is None
+
+    def test_fused_matches_four_pass(self):
+        """2-pass chain (fused xy + dual z) ≡ original 4-pass chain: both
+        are ~47-bit dd evaluations; merging c+d reorders one TwoSum chain."""
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.ops.pallas.dd_vmult import DDVmultKernel
+
+        mesh = StructuredMesh(3, (5, 4, 3))
+        dofs = DofHandler(mesh, 4)
+        op = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
+        kern = op._dd_pallas or DDVmultKernel(op, interpret=True)
+        rng = np.random.default_rng(3)
+        uh = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        ul = jnp.asarray(1e-8 * rng.standard_normal(dofs.n_dofs), jnp.float32)
+        vh_f, vl_f = kern.vmult_dd(uh, ul, fused=True)
+        vh_4, vl_4 = kern.vmult_dd(uh, ul, fused=False)
+        v_f = np.asarray(vh_f, np.float64) + np.asarray(vl_f, np.float64)
+        v_4 = np.asarray(vh_4, np.float64) + np.asarray(vl_4, np.float64)
+        assert np.abs(v_f - v_4).max() <= 1e-12 * np.abs(v_4).max()
 
 
 class TestF32VmultKernel:
