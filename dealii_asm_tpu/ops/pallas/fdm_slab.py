@@ -116,16 +116,23 @@ def _call(x, vzf, vzb, lamz, gy, gyt, gxT, gxtT, lamyx, shape,
             pltpu.VMEM((2, ny, nx), jnp.float32),    # carry planes (prev, cur)
         ],
     )
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(((n_win + 1) * p, ny, nx), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # sequential: carry dependency
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(lamz, vzf, vzb, x, x, gy, gyt, gxT, gxtT, lamyx)
+    # trace with x64 promotion OFF regardless of the caller's config: under
+    # jax_enable_x64 the body's int scalars promote to i64 and Mosaic fails
+    # to legalize them (same guard as smoother_step._call)
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(((n_win + 1) * p, ny, nx),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),  # sequential: carry dep
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(lamz, vzf, vzb, x, x, gy, gyt, gxT, gxtT, lamyx)
 
 
 class FDMSlabKernel:
@@ -174,14 +181,19 @@ class FDMSlabKernel:
             return np.pad(M, ((0, rows - M.shape[0]), (0, 0)))
 
         tdt = transform_dtype
-        self.args = (
-            jnp.asarray(vzf), jnp.asarray(vzb),
-            jnp.asarray(lz.reshape(n_win, m)),
-            jnp.asarray(padc(Gy, nyp), tdt), jnp.asarray(padr(Gyt, nyp), tdt),
-            jnp.asarray(padr(Gx.T, nxp), tdt),
-            jnp.asarray(padc(Gxt.T, nxp), tdt),
-            jnp.asarray(ly[:, None] + lx[None, :]),
-        )
+        # construction may run lazily inside someone else's jit trace (the
+        # smoother builds the kernel on first vmult): force concrete arrays
+        # so the cached tables never capture that trace's tracers
+        with jax.ensure_compile_time_eval():
+            self.args = (
+                jnp.asarray(vzf), jnp.asarray(vzb),
+                jnp.asarray(lz.reshape(n_win, m)),
+                jnp.asarray(padc(Gy, nyp), tdt),
+                jnp.asarray(padr(Gyt, nyp), tdt),
+                jnp.asarray(padr(Gx.T, nxp), tdt),
+                jnp.asarray(padc(Gxt.T, nxp), tdt),
+                jnp.asarray(ly[:, None] + lx[None, :]),
+            )
         self.shape = (nzp, nyp, nxp, m, p, n_win)
         self.grid_shape = (nz, ny, nx)
         self._pad = ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx))

@@ -60,6 +60,11 @@ def _dot(a, b, precision="highest"):
     "high" (3 bf16 passes, ~2⁻²¹ operand error) is built manually from
     bf16-split operands — Mosaic's dot lowering only accepts DEFAULT and
     HIGHEST."""
+    if precision == "bf16":
+        # one MXU pass on bf16-cast operands — for transforms applied to the
+        # preconditioned residual only (relative perturbation of P⁻¹)
+        return jax.lax.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
     if precision == "high":
         f32 = jnp.float32
         bf = jnp.bfloat16
@@ -131,11 +136,11 @@ def _band_y1(plane, da_ref, n_diag: int):
 
 
 def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
-            omega_ref, x1_ref, x3_ref, b_ref,
+            omega_ref, x3_ref, b_ref,
             dmx_ref, dkx_ref, my_ref, ky_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
             out_ref,
-            p1r, p2r, azr, carry,
+            p1r, p2r, azr, carry, xr,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False,
             prec_a: str = "highest", prec_f: str = "highest"):
@@ -162,6 +167,9 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         slot = i % 4
         for t in range(p):
             xpl = x3_ref[t]
+            # x plane ring: block i+3, consumed by the F-stage 3 steps later
+            # (slot (i+1)%4 there) — x is read from HBM ONCE per step
+            xr[slot, t] = xpl
             if x_dense:
                 # x-apply as dense MXU dots (tables = M̂ₓᵀ/K̂ₓᵀ padded).
                 # Measured SLOWER on v5e at Q4/64³ (4.62 vs 4.10 ms/step):
@@ -219,9 +227,51 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         def r_plane(s):  # r at global plane p·w + s
             return azr[prev, s] if s < p else azr[cur, 0]
 
-        ny = x1_ref.shape[1]
-        nx = x1_ref.shape[2]
+        xslot = (i + 1) % 4  # block i of x, written by the P-stage at i−3
+        ny = x3_ref.shape[1]
+        nx = x3_ref.shape[2]
         mx = gxT_ref.shape[1]
+
+        if n_wy == 0:
+            # batch the m per-k y-transforms into ONE wide dot each way
+            # (the k-loop's 2m small Gy/Gyt dots serialize past the DMA
+            # shadow; a (ny, m·nx) operand keeps the MXU busy)
+            Ts = []
+            for k in range(m):
+                T = vzf_ref[wz, 0, k] * r_plane(0)
+                for s in range(1, m):
+                    T = T + vzf_ref[wz, s, k] * r_plane(s)
+                Ts.append(T)
+            B_cat = _dot(gy_ref[:], jnp.concatenate(Ts, axis=1).astype(dt),
+                         prec_f)
+            mx = gxT_ref.shape[1]
+            Cqs = []
+            for k in range(m):
+                Cq = _dot(B_cat[:, k * nx : (k + 1) * nx].astype(dt),
+                          gxT_ref[:], prec_f)
+                Cqs.append(Cq / (lamyx_ref[:] + lamz_ref[wz, k]))
+            Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dt),
+                         prec_f)
+            for k in range(m):
+                Z = _dot(Y_cat[:, k * mx : (k + 1) * mx].astype(dt),
+                         gxtT_ref[:], prec_f)
+                for s in range(p):
+                    if k == 0:
+                        out_ref[s] = xr[xslot, s] + omega * (
+                            vzb_ref[wz, s, k] * Z)
+                    else:
+                        out_ref[s] += omega * (vzb_ref[wz, s, k] * Z)
+                if k == 0:
+                    carry[1] = vzb_ref[wz, m - 1, k] * Z
+                else:
+                    carry[1] += vzb_ref[wz, m - 1, k] * Z
+
+            @pl.when(w > 0)
+            def _():
+                out_ref[0] += omega * carry[0]
+
+            carry[0] = carry[1]
+            return
 
         for k in range(m):
             T = vzf_ref[wz, 0, k] * r_plane(0)
@@ -270,7 +320,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             Z = _dot(Y.astype(dt), gxtT_ref[:], prec_f)
             for s in range(p):
                 if k == 0:
-                    out_ref[s] = x1_ref[s] + omega * (vzb_ref[wz, s, k] * Z)
+                    out_ref[s] = xr[xslot, s] + omega * (vzb_ref[wz, s, k] * Z)
                 else:
                     out_ref[s] += omega * (vzb_ref[wz, s, k] * Z)
             if k == 0:
@@ -287,7 +337,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
     # ---- cleanup: flush the final shared plane (global p·n_win) ------------
     @pl.when(i == n_win + 3)
     def _():
-        out_ref[0] = x1_ref[0] + omega_ref[0, 0] * carry[0]
+        out_ref[0] = xr[(i + 1) % 4, 0] + omega_ref[0, 0] * carry[0]
         for s in range(1, p):
             out_ref[s] = jnp.zeros_like(out_ref[s])
 
@@ -315,8 +365,6 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
         in_specs=[
             smem, smem,                          # kid zid window-type indices
             smem, smem, smem, smem, smem, smem,  # kzr mzr lamz vzf vzb omega
-            pl.BlockSpec(blk, lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),       # x: F-stage planes
             pl.BlockSpec(blk, lambda i: (i + 3, 0, 0),
                          memory_space=pltpu.VMEM),       # x: P-stage planes
             pl.BlockSpec(blk, lambda i: (i + 1, 0, 0),
@@ -331,6 +379,7 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
             pltpu.VMEM((4, p, ny, nx), jnp.float32),     # P2 ring
             pltpu.VMEM((2, p, ny, nx), jnp.float32),     # r ring
             pltpu.VMEM((2, ny, nx), jnp.float32),        # FDM carry planes
+            pltpu.VMEM((4, p, ny, nx), jnp.float32),     # x plane ring
         ],
     )
     # trace the kernel with x64 promotion OFF regardless of the caller's
@@ -339,16 +388,18 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
     from jax._src.config import enable_x64 as _enable_x64
 
     with _enable_x64(False):
+        # out has the SAME padded shape as x (blocks beyond the grid stay
+        # unwritten): steps chain with no per-step pad/slice — measured
+        # 1.4 ms of a 4.0 ms step at 17M DoF
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct(((n_win + 4) * p, ny, nx),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, x, b,
+        )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, b,
           dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
 
 
@@ -356,10 +407,15 @@ class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
     def __init__(self, op, asm, transform_dtype=jnp.float32,
-                 fdm_y: str = "dense", x_apply: str = "banded",
+                 fdm_y: str = "dense", x_apply: str = "dense",
                  y_apply: str = "banded",
                  precision_a: str = "high",
-                 precision_f: str = "default"):
+                 precision_f: str = "bf16"):
+        # default variant (v5e, Q4 64³, chained padded steps — measured):
+        #   x=dense/high 5.19, x=banded 4.85, all-banded 4.69, all-dense 4.29,
+        #   pa=default 5.91 GDoF/s (rejected: bf16 A-path noise broke MG
+        #   parity in round 2, 8 vs 5 outer its).  y banded is exact f32 on
+        #   the VPU; pf=bf16 perturbs only P⁻¹ (~7e-3) — parity-checked E2E.
         """fdm_y: "windowed" runs the FDM y-transforms as per-y-window VPU
         vector broadcasts on reshaped plane rows (the block-banded structure
         of G — ~2.4x fewer F-stage MXU FLOPs, but measured SLOWER on v5e:
@@ -553,14 +609,26 @@ class SmootherStepKernel:
         self._pad = ((3 * p, (n_win + 7) * p - nz - 3 * p),
                      (0, nyp - ny), (0, nxp - nx))
 
-    def step_grids(self, xg, bg, omega=1.0, interpret=False):
-        xp = jnp.pad(xg.astype(jnp.float32), self._pad)
-        bp = jnp.pad(bg.astype(jnp.float32), self._pad)
-        om = jnp.full((1, 1), omega, jnp.float32)
-        out = _call(xp, bp, om, self.tables, self.shape,
-                    prec=self.precisions, interpret=interpret)
+    def pad_grid(self, g):
+        """(nz, ny, nx) grid -> the kernel's padded layout."""
+        return jnp.pad(g.astype(jnp.float32), self._pad)
+
+    def unpad_grid(self, gp):
         nz, ny, nx = self.grid_shape
-        return out[3 * self.p : 3 * self.p + nz, :ny, :nx]
+        return gp[3 * self.p : 3 * self.p + nz, :ny, :nx]
+
+    def step_padded(self, xp, bp, omega=1.0, interpret=False):
+        """One step in the padded layout: in and out share the same shape,
+        so consecutive steps (and level ops that accept the padded grid)
+        chain with zero pad/slice traffic."""
+        om = jnp.full((1, 1), omega, jnp.float32)
+        return _call(xp, bp, om, self.tables, self.shape,
+                     prec=self.precisions, interpret=interpret)
+
+    def step_grids(self, xg, bg, omega=1.0, interpret=False):
+        out = self.step_padded(self.pad_grid(xg), self.pad_grid(bg), omega,
+                               interpret)
+        return self.unpad_grid(out)
 
     def step(self, x_flat, b_flat, omega=1.0, interpret=False):
         nz, ny, nx = self.grid_shape

@@ -410,10 +410,31 @@ class ASMPreconditioner:
         return fdm_global_apply(src.reshape(self.grid_shape), Gs, Gts,
                                 1.0 / denom, self.dim).reshape(-1)
 
+    def _fdm_slab(self):
+        """Lazy fused Pallas FDM apply (one HBM pass vs six grid matmuls);
+        None where unsupported (CPU, small problems, non-element/ov1)."""
+        if not hasattr(self, "_slab_kernel"):
+            self._slab_kernel = None
+            try:
+                import jax
+
+                if (jax.devices()[0].platform != "cpu"
+                        and np.dtype(self.dtype) == np.float32
+                        and self.dofs.n_dofs >= 100_000):
+                    from ..ops.pallas.fdm_slab import FDMSlabKernel
+
+                    self._slab_kernel = FDMSlabKernel(self)
+            except Exception:
+                self._slab_kernel = None
+        return self._slab_kernel
+
     def _vmult_impl(self, src):
         # the global-FDM fast path goes first and touches no O(n) instance
         # arrays (weights/constraints folded into its transforms at setup)
         if self.access == "lattice" and self.global_fdm is not None:
+            kern = self._fdm_slab()
+            if kern is not None:
+                return kern.apply(src)
             return self._vmult_global_fdm(src)
         w = self.weights
         x = src
