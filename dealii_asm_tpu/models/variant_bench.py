@@ -145,6 +145,15 @@ def run_access_bench(params: dict, out=sys.stdout):
     variants["gather"] = lambda y: y + gather.vmult_traceable(
         b - op.vmult_traceable(y))
 
+    # lane-major per-cell path (what deformed/non-factoring meshes run)
+    lanes = ASMPreconditioner(dofs, n_overlap=n_overlap,
+                              weighting_type="symm", dtype=dtype)
+    lanes.global_fdm = None
+    lanes.dense = None
+    lanes._build_lanes()
+    variants["lanes"] = lambda y: y + lanes.vmult_traceable(
+        b - op.vmult_traceable(y))
+
     if dim == 3 and n_overlap == 1 and not any(mesh.periodic):
         try:
             from ..ops.pallas.smoother_step import SmootherStepKernel

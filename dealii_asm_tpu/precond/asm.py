@@ -81,6 +81,30 @@ def _batched_apply(mats: jnp.ndarray, u: jnp.ndarray, axis: int, transpose: bool
     return jnp.moveaxis(u, -1, full_axis)
 
 
+def _axis_apply_lanes(u, axis: int, Vt, transpose: bool):
+    """Per-patch 1D transform along one local axis, patches on the LANE axis.
+
+    u: (m, ..., m, P) local tensors with the (huge) patch axis LAST — on TPU
+    this keeps every intermediate in perfect (8, 128) tiles, whereas the
+    patch-major (P, m, …, m) layout pads each trailing (m, m) tile to
+    (8, 128) — a 41× HBM inflation at m=5 that OOM'd the 7.2M-DoF Kershaw
+    solve.  Vt: (m_in, m_out, P) storing V[p][j, i].  The contraction is m²
+    unrolled broadcast-FMAs over (…, P) slabs — pure VPU streaming, no
+    dot_general with a megascale batch dimension.
+    """
+    u = jnp.moveaxis(u, axis, 0)  # (m, rest..., P)
+    m = Vt.shape[0]
+    outs = []
+    for i in range(m):
+        acc = None
+        for j in range(m):
+            c = Vt[j, i] if transpose else Vt[i, j]  # (P,)
+            t = u[j] * c
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return jnp.moveaxis(jnp.stack(outs, 0), 0, axis)
+
+
 class ASMPreconditioner:
     """Element-centric / vertex-patch additive Schwarz with FDM local solves."""
 
@@ -224,6 +248,16 @@ class ASMPreconditioner:
                 lams.append(jnp.asarray(np.asarray(lam).reshape(-1), dtype))
             self.global_fdm = (Gs, Gts, lams)
 
+        # lane-major per-patch FDM tables — the scalable apply for meshes whose
+        # 1D patch matrices do NOT factor per coordinate (Kershaw & friends).
+        # Patch-major (P, m, …, m) local tensors tile each trailing (m, m) as
+        # (8, 128) on TPU (41× HBM inflation at m=5 — OOM at 7.2M DoF); here
+        # every per-patch table and intermediate carries the patch axis LAST.
+        self.lanes = None
+        self.ras_mask_T = None
+        if self.global_fdm is None:
+            self._build_lanes()
+
         # vertex patches without the separable fast path (RAS coloring or a
         # non-factoring mesh) fall back to the index-gather apply; the element
         # fallback paths below use element window geometry only
@@ -231,6 +265,24 @@ class ASMPreconditioner:
             self.access = "gather"
 
         self._vmult = jax.jit(self._vmult_impl)
+
+    def _build_lanes(self):
+        """Build the lane-major per-patch eigen-transform tables (see
+        ``_axis_apply_lanes``): Vt_d (m, m, P) and λ_d (m, P), patch axis last."""
+        coll = self.collection
+        ids_np = np.asarray(coll.ids)
+        Vt, lam_t = [], []
+        for d in range(self.dim):
+            V = np.asarray(coll.eigvecs[d])[ids_np[:, d]]  # (P, m, m)
+            Vt.append(jnp.asarray(
+                np.ascontiguousarray(V.transpose(1, 2, 0)), self.dtype))
+            lam_d = np.asarray(coll.eigvals[d])[ids_np[:, d]]  # (P, m)
+            lam_t.append(jnp.asarray(
+                np.ascontiguousarray(lam_d.T), self.dtype))
+        self.lanes = (Vt, lam_t)
+        if self.ras_mask is not None:
+            self.ras_mask_T = jnp.asarray(
+                np.ascontiguousarray(np.asarray(self.ras_mask).T))
 
     def _try_dense(self, ids: np.ndarray, max_combos: int = 64):
         combos, combo_ids = np.unique(ids, axis=0, return_inverse=True)
@@ -298,6 +350,15 @@ class ASMPreconditioner:
     @patch_idx.setter
     def patch_idx(self, v):
         self._patch_idx_dev = v
+
+    @property
+    def patch_idx_T(self):
+        """(L, P) transposed index table for the lane-major gather path."""
+        if getattr(self, "_patch_idx_T_dev", None) is None:
+            with jax.ensure_compile_time_eval():
+                self._patch_idx_T_dev = jnp.asarray(
+                    np.ascontiguousarray(self._patch_idx_np.T))
+        return self._patch_idx_T_dev
 
     def _try_percoord(self, ids: np.ndarray):
         mesh = self.dofs.mesh
@@ -368,6 +429,33 @@ class ASMPreconditioner:
             V = self.eigvecs[d][self.ids[:, d]]
             u = _batched_apply(V, u, a, transpose=False)
         return u.reshape(C, m**self.dim)
+
+    def _fdm_apply_lanes(self, W):
+        """(L, P) -> (L, P) batched tensor-product inverse, patches on lanes.
+
+        L = m^dim local DoFs (x fastest), P patches.  Six axis transforms as
+        unrolled broadcast-FMAs (`_axis_apply_lanes`) + one reciprocal — every
+        intermediate is (m, m, m, P), perfectly tiled for any m."""
+        m, dim = self.m, self.dim
+        Vt, lams = self.lanes
+        P = W.shape[-1]
+        u = W.reshape((m,) * dim + (P,))
+        for a in range(dim):
+            d = dim - 1 - a
+            u = _axis_apply_lanes(u, a, Vt[d], transpose=True)
+        denom = None
+        for a in range(dim):
+            d = dim - 1 - a
+            lam = lams[d]  # (m, P)
+            shape = [1] * dim + [P]
+            shape[a] = m
+            lam_b = lam.reshape(shape)
+            denom = lam_b if denom is None else denom + lam_b
+        u = u / denom
+        for a in range(dim):
+            d = dim - 1 - a
+            u = _axis_apply_lanes(u, a, Vt[d], transpose=False)
+        return u.reshape(m**dim, P)
 
     def _fdm_apply_percoord(self, w):
         """FDM inverse on interleaved windows (Cz,mz,Cy,my,Cx,mx) with
@@ -467,6 +555,24 @@ class ASMPreconditioner:
             dst = windows_to_grid(y, self.grid_shape, self.degree,
                                   self.n_overlap, mesh.periodic).reshape(-1)
             dst = jnp.where(self.constrained, 0.0, dst)
+        elif self.access == "lattice" and self.lanes is not None:
+            # element windows on a structured lattice, non-factoring geometry:
+            # strided-slice extraction straight into the (L, C) lane-major
+            # layout, per-cell FDM with cells on the lane axis
+            from ..ops.lattice import cells_to_grid_sliced, grid_to_cells_sliced
+
+            mesh = self.dofs.mesh
+            x0 = jnp.where(self.constrained, 0.0, x)
+            W = grid_to_cells_sliced(x0.reshape(self.grid_shape), mesh.n_cells,
+                                     self.degree, self.m, self.n_overlap,
+                                     mesh.periodic)  # (L, C)
+            y = self._fdm_apply_lanes(W)
+            if self.ras_mask_T is not None:
+                y = y * self.ras_mask_T
+            dst = cells_to_grid_sliced(y, self.grid_shape, mesh.n_cells,
+                                       self.degree, self.m, self.n_overlap,
+                                       mesh.periodic).reshape(-1)
+            dst = jnp.where(self.constrained, 0.0, dst)
         elif self.access == "lattice":
             from ..ops.lattice import cells_to_grid, grid_to_cells
 
@@ -480,6 +586,17 @@ class ASMPreconditioner:
             dst = cells_to_grid(y, self.grid_shape, mesh.n_cells, self.degree,
                                 self.m, self.n_overlap, mesh.periodic).reshape(-1)
             dst = jnp.where(self.constrained, 0.0, dst)
+        elif self.lanes is not None:
+            # vertex / non-lattice patches: index gather straight into the
+            # lane-major layout via the transposed (L, P) index table
+            xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+            W = xpad[self.patch_idx_T]  # (L, P)
+            y = self._fdm_apply_lanes(W)
+            if self.ras_mask_T is not None:
+                y = y * self.ras_mask_T
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx_T.reshape(-1)
+            ].add(y.reshape(-1))[:-1]
         else:
             xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
             xp = xpad[self.patch_idx]  # (C, m^dim)
