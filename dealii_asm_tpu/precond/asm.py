@@ -105,6 +105,48 @@ def _axis_apply_lanes(u, axis: int, Vt, transpose: bool):
     return jnp.moveaxis(jnp.stack(outs, 0), 0, axis)
 
 
+def fdm_apply_lanes(W, m: int, dim: int, Vt, lams):
+    """(L, P) -> (L, P) batched tensor-product inverse, patches on lanes.
+
+    L = m^dim local DoFs (x fastest), P patches.  2·dim axis transforms as
+    unrolled broadcast-FMAs (`_axis_apply_lanes`) + one reciprocal — every
+    intermediate is (m, ..., m, P), perfectly tiled for any m.  Vt[d] is
+    (m, m, P), lams[d] is (m, P)."""
+    P = W.shape[-1]
+    u = W.reshape((m,) * dim + (P,))
+    for a in range(dim):
+        d = dim - 1 - a
+        u = _axis_apply_lanes(u, a, Vt[d], transpose=True)
+    denom = None
+    for a in range(dim):
+        d = dim - 1 - a
+        lam = lams[d]  # (m, P)
+        shape = [1] * dim + [P]
+        shape[a] = m
+        lam_b = lam.reshape(shape)
+        denom = lam_b if denom is None else denom + lam_b
+    u = u / denom
+    for a in range(dim):
+        d = dim - 1 - a
+        u = _axis_apply_lanes(u, a, Vt[d], transpose=False)
+    return u.reshape(m**dim, P)
+
+
+def build_lanes_tables(eigvecs, eigvals, ids, dim: int, dtype):
+    """Lane-major per-patch eigen-transform tables: Vt_d (m, m, P) storing
+    V[p][j, i] and λ_d (m, P), patch axis LAST (see `fdm_apply_lanes`)."""
+    ids_np = np.asarray(ids)
+    Vt, lam_t = [], []
+    for d in range(dim):
+        V = np.asarray(eigvecs[d])[ids_np[:, d]]  # (P, m, m)
+        Vt.append(jnp.asarray(
+            np.ascontiguousarray(V.transpose(1, 2, 0)), dtype))
+        lam_d = np.asarray(eigvals[d])[ids_np[:, d]]  # (P, m)
+        lam_t.append(jnp.asarray(
+            np.ascontiguousarray(lam_d.T), dtype))
+    return Vt, lam_t
+
+
 class ASMPreconditioner:
     """Element-centric / vertex-patch additive Schwarz with FDM local solves."""
 
@@ -270,16 +312,8 @@ class ASMPreconditioner:
         """Build the lane-major per-patch eigen-transform tables (see
         ``_axis_apply_lanes``): Vt_d (m, m, P) and λ_d (m, P), patch axis last."""
         coll = self.collection
-        ids_np = np.asarray(coll.ids)
-        Vt, lam_t = [], []
-        for d in range(self.dim):
-            V = np.asarray(coll.eigvecs[d])[ids_np[:, d]]  # (P, m, m)
-            Vt.append(jnp.asarray(
-                np.ascontiguousarray(V.transpose(1, 2, 0)), self.dtype))
-            lam_d = np.asarray(coll.eigvals[d])[ids_np[:, d]]  # (P, m)
-            lam_t.append(jnp.asarray(
-                np.ascontiguousarray(lam_d.T), self.dtype))
-        self.lanes = (Vt, lam_t)
+        self.lanes = build_lanes_tables(coll.eigvecs, coll.eigvals, coll.ids,
+                                        self.dim, self.dtype)
         if self.ras_mask is not None:
             self.ras_mask_T = jnp.asarray(
                 np.ascontiguousarray(np.asarray(self.ras_mask).T))
@@ -436,26 +470,8 @@ class ASMPreconditioner:
         L = m^dim local DoFs (x fastest), P patches.  Six axis transforms as
         unrolled broadcast-FMAs (`_axis_apply_lanes`) + one reciprocal — every
         intermediate is (m, m, m, P), perfectly tiled for any m."""
-        m, dim = self.m, self.dim
         Vt, lams = self.lanes
-        P = W.shape[-1]
-        u = W.reshape((m,) * dim + (P,))
-        for a in range(dim):
-            d = dim - 1 - a
-            u = _axis_apply_lanes(u, a, Vt[d], transpose=True)
-        denom = None
-        for a in range(dim):
-            d = dim - 1 - a
-            lam = lams[d]  # (m, P)
-            shape = [1] * dim + [P]
-            shape[a] = m
-            lam_b = lam.reshape(shape)
-            denom = lam_b if denom is None else denom + lam_b
-        u = u / denom
-        for a in range(dim):
-            d = dim - 1 - a
-            u = _axis_apply_lanes(u, a, Vt[d], transpose=False)
-        return u.reshape(m**dim, P)
+        return fdm_apply_lanes(W, self.m, self.dim, Vt, lams)
 
     def _fdm_apply_percoord(self, w):
         """FDM inverse on interleaved windows (Cz,mz,Cy,my,Cx,mx) with

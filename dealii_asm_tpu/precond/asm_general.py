@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.general_dofs import GeneralDofHandler
-from .asm import _batched_apply, _dedup_collection
+from .asm import (_batched_apply, _dedup_collection, build_lanes_tables,
+                  fdm_apply_lanes)
 from .fdm import fdm_1d_matrices
 
 
@@ -98,6 +99,18 @@ class GeneralASMPreconditioner:
         self.eigvals = [jnp.asarray(l, dtype) for l in coll.eigvals]
         self.ids = jnp.asarray(coll.ids)
 
+        # lane-major apply (patch axis LAST): the production path — the
+        # patch-major (P, m, ..., m) layout tiles each trailing (m, m) as
+        # (8, 128) on TPU, a 41x HBM inflation at m=5 (see asm.py)
+        self.lanes = build_lanes_tables(coll.eigvecs, coll.eigvals, coll.ids,
+                                        self.dim, dtype)
+        self.patch_idx_T = jnp.asarray(
+            np.ascontiguousarray(idx.astype(np.int32).T))
+        self.ras_mask_T = None
+        if self.ras_mask is not None:
+            self.ras_mask_T = jnp.asarray(
+                np.ascontiguousarray(np.asarray(self.ras_mask).T))
+
         self._vmult = jax.jit(self._vmult_impl)
 
     def _fdm_apply(self, xp):
@@ -129,12 +142,20 @@ class GeneralASMPreconditioner:
         if self.weighting_type in ("pre", "symm"):
             x = x * w
         xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-        xp = xpad[self.patch_idx]
-        y = self._fdm_apply(xp)
-        if self.ras_mask is not None:
-            y = y * self.ras_mask
-        dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
-            self.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
+        if self.lanes is not None:
+            W = xpad[self.patch_idx_T]  # (L, P), patches on lanes
+            y = fdm_apply_lanes(W, self.m, self.dim, *self.lanes)
+            if self.ras_mask_T is not None:
+                y = y * self.ras_mask_T
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx_T.reshape(-1)].add(y.reshape(-1))[:-1]
+        else:
+            xp = xpad[self.patch_idx]
+            y = self._fdm_apply(xp)
+            if self.ras_mask is not None:
+                y = y * self.ras_mask
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
         if self.weighting_type in ("post", "symm"):
             dst = dst * w
         return dst

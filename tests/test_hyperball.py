@@ -314,3 +314,35 @@ class TestGeneralOverlapPatches:
             assert r.converged
             its[o] = r.n_iterations
         assert its[2] <= its[1]
+
+
+class TestGeneralLanesApply:
+    """Lane-major (patches-on-lanes) FDM apply equals the patch-major oracle
+    on the unstructured path (see asm.py: the (P, m, ..., m) layout tiles each
+    trailing (m, m) as (8, 128) on TPU — 41x HBM inflation at m=5)."""
+
+    @pytest.mark.parametrize("ov,wt", [(1, "symm"), (1, "ras"), (2, "post")])
+    def test_matches_patch_major_oracle(self, ov, wt):
+        mesh = hyper_ball_balanced(3).refine()
+        dh = GeneralDofHandler(mesh, 3)
+        asm = GeneralASMPreconditioner(dh, n_overlap=ov, weighting_type=wt,
+                                       dtype=jnp.float64)
+        assert asm.lanes is not None
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(dh.n_dofs))
+        got = np.asarray(asm.vmult(x))
+
+        # patch-major oracle
+        w = asm.weights
+        xs = x * w if wt in ("pre", "symm") else x
+        xpad = jnp.concatenate([xs, jnp.zeros((1,), xs.dtype)])
+        y = asm._fdm_apply(xpad[asm.patch_idx])
+        if asm.ras_mask is not None:
+            y = y * asm.ras_mask
+        ref = jnp.zeros(dh.n_dofs + 1, xs.dtype).at[
+            asm.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
+        if wt in ("post", "symm"):
+            ref = ref * w
+        ref = np.asarray(ref)
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=1e-13 * np.abs(ref).max())
