@@ -140,7 +140,12 @@ class Multigrid:
         if self._jitted is None:
             import jax
 
-            self._jitted = jax.jit(self._vmult_whole)
+            from ..utils.jitutils import jit_hoist_consts
+
+            # hoist level tables to runtime parameters: captured constants
+            # overflow the remote-compile transport at O(n_dofs) sizes
+            self._jitted = jit_hoist_consts(
+                self._vmult_whole, jax.ShapeDtypeStruct(src.shape, src.dtype))
         return self._jitted(src)
 
     def __call__(self, src):

@@ -218,7 +218,10 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
             out = lax.while_loop(cond, body, s0)
             return out[0], out[4], out[7], out[8]
 
-        run = jax.jit(run_impl)
+        from ..utils.jitutils import jit_hoist_consts
+
+        sds = jax.ShapeDtypeStruct(b.shape, b.dtype)
+        run = jit_hoist_consts(run_impl, sds, sds)
         _CG_DEVICE_CACHE[key] = run
 
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -344,7 +347,10 @@ def _cg_device_dd(op, b, M, control: ReductionControl, x0) -> SolveResult:
             out = lax.while_loop(cond, body, s0)
             return dd_to_f64(out[0], out[1]), out[7], out[10], out[11]
 
-        run = jax.jit(run_impl)
+        from ..utils.jitutils import jit_hoist_consts
+
+        sds = jax.ShapeDtypeStruct(b.shape, jnp.float32)
+        run = jit_hoist_consts(run_impl, sds, sds, sds, sds)
         _CG_DD_CACHE[key] = run
 
     bh, bl = dd_from_f64(b)
@@ -648,7 +654,12 @@ def _gmres_device(A, b, M, control: ReductionControl, x0, restart: int,
             xn = x + update
             return xn, k, res, succ, done0, initial
 
-        cycle = jax.jit(cycle_impl)
+        from ..utils.jitutils import jit_hoist_consts
+
+        sds = jax.ShapeDtypeStruct(b.shape, b.dtype)
+        cycle = jit_hoist_consts(
+            cycle_impl, sds, sds, jax.ShapeDtypeStruct((), hdt),
+            jax.ShapeDtypeStruct((), jnp.int32))
         _GMRES_DEVICE_CACHE[key] = cycle
 
     x = jnp.zeros_like(b) if x0 is None else x0
