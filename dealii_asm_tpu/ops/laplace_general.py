@@ -8,6 +8,17 @@ shape (/root/reference/include/operator.h:269-1628): gather cell DoFs
 sum-factorized gradients → merged symmetric coefficient per q-point
 (operator.h:1162-1219) → transpose integration → scatter-add.  Constrained
 (Dirichlet) rows act as identity (matrix_free_internal.h:247-255 convention).
+
+Two local-apply layouts:
+
+- ``kernel="lanes"`` (default, the production path): cells travel on the TPU
+  LANE axis — local tensors are (n, ..., n, C), the shared 1D shape matrices
+  apply as unrolled scalar broadcast-FMAs, and the merged coefficient is six
+  symmetric components of shape (q, ..., q, C).  Patch-major (C, n, n, n)
+  tensors tile each trailing (n, n) as (8, 128) on TPU — a 41× HBM inflation
+  at n=5 that makes the 8.4M-DoF ball (131072 cells) infeasible.
+- ``kernel="sumfac"``/``"fused-B"``: the patch-major oracle (kept for
+  equality tests and small problems).
 """
 
 from __future__ import annotations
@@ -21,13 +32,33 @@ from ..fem.lagrange import shape_1d
 from ..mesh.grid import _tensor_gradient, _tensor_weights
 from .laplace import gradients_sumfac, integrate_sumfac, _tensor_values
 
+# symmetric coefficient component order per dim: upper triangle of (d, e)
+_SYM_PAIRS = {2: [(0, 0), (0, 1), (1, 1)],
+              3: [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]}
+
+
+def _axis_apply_shared(u, axis: int, M):
+    """Apply a shared (q_out, q_in) 1D matrix along ``axis`` of a lane-major
+    tensor (..., C): q_out·q_in unrolled broadcast-FMAs with scalar
+    coefficients — pure VPU streaming over the (…, C) slabs."""
+    u = jnp.moveaxis(u, axis, 0)
+    qo, qi = M.shape
+    outs = []
+    for i in range(qo):
+        acc = None
+        for j in range(qi):
+            t = u[j] * M[i, j]
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return jnp.moveaxis(jnp.stack(outs, 0), 0, axis)
+
 
 class GeneralLaplaceOperator:
     """Poisson operator on a GeneralDofHandler (merged-coefficient geometry)."""
 
     def __init__(self, dofs: GeneralDofHandler, n_q_1d: int | None = None,
                  mapping_degree: int | None = None, dtype=jnp.float64,
-                 kernel: str = "sumfac", matmul_precision: str | None = None):
+                 kernel: str = "lanes", matmul_precision: str | None = None):
         self.dofs = dofs
         self.mesh = dofs.mesh
         self.degree = dofs.degree
@@ -57,7 +88,6 @@ class GeneralLaplaceOperator:
         if (detj <= 0).any():
             raise ValueError("non-positive Jacobian determinant")
         self._jxw_np = wq[None, :] * detj
-        self.coeff = jnp.asarray(coeff, dtype)
         self.jxw = jnp.asarray(self._jxw_np, dtype)
 
         self.n_dofs = dofs.n_dofs
@@ -66,10 +96,29 @@ class GeneralLaplaceOperator:
         self._B_np = _tensor_gradient(s.N, s.D, self.dim)  # (Q, L, dim)
         self._B_dev = None
 
-        # coeff is O(cells): pass as jit argument, not a captured constant
-        self._vmult = jax.jit(lambda u, coeff: self._vmult_impl(u, coeff))
+        C = coeff.shape[0]
+        q = self.n_q_1d
+        if kernel == "lanes":
+            # six symmetric components, cells on lanes: (q, ..., q, C) each
+            self.coeff = None
+            self.coeff6 = tuple(
+                jnp.asarray(np.ascontiguousarray(
+                    coeff[:, :, d, e].T.reshape((q,) * self.dim + (C,))),
+                    dtype)
+                for d, e in _SYM_PAIRS[self.dim])
+            self.cell_dofs_T = jnp.asarray(np.ascontiguousarray(
+                np.asarray(dofs.cell_dofs).T.astype(np.int32)))  # (L, C)
+            self._coeff_args = self.coeff6
+        else:
+            self.coeff = jnp.asarray(coeff, dtype)
+            self.coeff6 = None
+            self._coeff_args = (self.coeff,)
+
+        # coefficients are O(cells): pass as jit arguments, not captured
+        # constants (the remote-compile transport rejects embedded tables)
+        self._vmult = jax.jit(lambda u, *cf: self._vmult_impl(u, *cf))
         self._residual = jax.jit(
-            lambda b, x, coeff: b - self._vmult_impl(x, coeff))
+            lambda b, x, *cf: b - self._vmult_impl(x, *cf))
 
     @property
     def B(self):
@@ -90,28 +139,78 @@ class GeneralLaplaceOperator:
         t = jnp.einsum("cqde,cqe->cqd", coeff, g)
         return integrate_sumfac(t, self.N1, self.D1, self.dim)
 
-    def _vmult_impl(self, u, coeff=None):
+    def apply_local_lanes(self, W, coeff6=None):
+        """Lane-major local cell integral (L, C) -> (L, C).
+
+        Gradients/integration as unrolled shared-matrix FMAs over (…, C)
+        slabs; the merged symmetric coefficient applies as six elementwise
+        multiplies.  No (C, n, n, n) tensor anywhere."""
+        if coeff6 is None:
+            coeff6 = self.coeff6
+        dim, n, q = self.dim, self.degree + 1, self.n_q_1d
+        C = W.shape[-1]
+        N, D = self.N1, self.D1
+        u = W.reshape((n,) * dim + (C,))
+        if dim == 2:
+            gx = _axis_apply_shared(_axis_apply_shared(u, 1, D), 0, N)
+            gy = _axis_apply_shared(_axis_apply_shared(u, 1, N), 0, D)
+            c00, c01, c11 = coeff6
+            tx = c00 * gx + c01 * gy
+            ty = c01 * gx + c11 * gy
+            v = (_axis_apply_shared(_axis_apply_shared(tx, 1, D.T), 0, N.T)
+                 + _axis_apply_shared(_axis_apply_shared(ty, 1, N.T), 0, D.T))
+        elif dim == 3:
+            t0 = _axis_apply_shared(u, 2, N)
+            t1 = _axis_apply_shared(t0, 1, N)
+            gz = _axis_apply_shared(t1, 0, D)
+            gy = _axis_apply_shared(_axis_apply_shared(t0, 1, D), 0, N)
+            gx = _axis_apply_shared(_axis_apply_shared(
+                _axis_apply_shared(u, 2, D), 1, N), 0, N)
+            c00, c01, c02, c11, c12, c22 = coeff6
+            tx = c00 * gx + c01 * gy + c02 * gz
+            ty = c01 * gx + c11 * gy + c12 * gz
+            tz = c02 * gx + c12 * gy + c22 * gz
+            Nt, Dt = N.T, D.T
+            v = (_axis_apply_shared(_axis_apply_shared(_axis_apply_shared(
+                    tx, 2, Dt), 1, Nt), 0, Nt)
+                 + _axis_apply_shared(_axis_apply_shared(_axis_apply_shared(
+                    ty, 2, Nt), 1, Dt), 0, Nt)
+                 + _axis_apply_shared(_axis_apply_shared(_axis_apply_shared(
+                    tz, 2, Nt), 1, Nt), 0, Dt))
+        else:
+            raise NotImplementedError(dim)
+        return v.reshape(n**dim, C)
+
+    def _vmult_impl(self, u, *cf):
         if self.matmul_precision is not None:
             with jax.default_matmul_precision(self.matmul_precision):
-                return self._vmult_inner(u, coeff)
-        return self._vmult_inner(u, coeff)
+                return self._vmult_inner(u, *cf)
+        return self._vmult_inner(u, *cf)
 
-    def _vmult_inner(self, u, coeff=None):
+    def _vmult_inner(self, u, *cf):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
-        uc = u0[self.cell_dofs]
-        v = self.apply_cells(uc, coeff)
-        dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(
-            v.reshape(-1))
+        if self.kernel == "lanes":
+            coeff6 = cf if cf else self.coeff6
+            W = u0[self.cell_dofs_T]  # (L, C), cells on lanes
+            v = self.apply_local_lanes(W, coeff6)
+            dst = jnp.zeros_like(u0).at[self.cell_dofs_T.reshape(-1)].add(
+                v.reshape(-1))
+        else:
+            coeff = cf[0] if cf else self.coeff
+            uc = u0[self.cell_dofs]
+            v = self.apply_cells(uc, coeff)
+            dst = jnp.zeros_like(u0).at[self.cell_dofs.reshape(-1)].add(
+                v.reshape(-1))
         return jnp.where(self.constrained, u, dst)
 
     def vmult(self, u):
-        return self._vmult(u, self.coeff)
+        return self._vmult(u, *self._coeff_args)
 
     def vmult_traceable(self, u):
         return self._vmult_impl(u)
 
     def residual(self, b, x):
-        return self._residual(b, x, self.coeff)
+        return self._residual(b, x, *self._coeff_args)
 
     def __call__(self, u):
         return self.vmult(u)
@@ -119,9 +218,24 @@ class GeneralLaplaceOperator:
     def compute_inverse_diagonal(self):
         """Matrix-free diagonal (constrained rows = 1), inverted
         (operator.h:1512 analog)."""
-        local = jnp.einsum("cqde,qld,qle->cl", self.coeff, self.B, self.B)
-        diag = jnp.zeros(self.n_dofs, self.dtype).at[
-            self.cell_dofs.reshape(-1)].add(local.reshape(-1))
+        if self.kernel == "lanes":
+            # local[l, c] = Σ_pairs mult · (B_d ⊙ B_e)ᵀ @ coeff6_pair —
+            # six small (L, Q) x (Q, C) MXU matmuls, no (C, Q, L) tensor
+            Q = self.n_q_1d ** self.dim
+            local = None
+            for (d, e), c6 in zip(_SYM_PAIRS[self.dim], self.coeff6):
+                mult = 1.0 if d == e else 2.0
+                BB = jnp.asarray(
+                    (self._B_np[:, :, d] * self._B_np[:, :, e]).T * mult,
+                    self.dtype)  # (L, Q)
+                t = BB @ c6.reshape(Q, -1)  # (L, C)
+                local = t if local is None else local + t
+            diag = jnp.zeros(self.n_dofs, self.dtype).at[
+                self.cell_dofs_T.reshape(-1)].add(local.reshape(-1))
+        else:
+            local = jnp.einsum("cqde,qld,qle->cl", self.coeff, self.B, self.B)
+            diag = jnp.zeros(self.n_dofs, self.dtype).at[
+                self.cell_dofs.reshape(-1)].add(local.reshape(-1))
         diag = jnp.where(self.constrained, 1.0, diag)
         return 1.0 / diag
 
@@ -144,8 +258,12 @@ class GeneralLaplaceOperator:
             g = np.zeros(self.n_dofs)
             g[mask] = np.asarray(dirichlet(self.dofs.points[mask]))
             if np.any(g != 0.0):
-                gc = g[cd]
-                v = np.asarray(self.apply_cells(jnp.asarray(gc, self.dtype)))
+                if self.kernel == "lanes":
+                    W = jnp.asarray(g[cd].T, self.dtype)  # (L, C)
+                    v = np.asarray(self.apply_local_lanes(W)).T
+                else:
+                    v = np.asarray(
+                        self.apply_cells(jnp.asarray(g[cd], self.dtype)))
                 lift = np.zeros(self.n_dofs)
                 np.add.at(lift, cd.reshape(-1), v.reshape(-1))
                 b = b - lift

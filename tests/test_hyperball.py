@@ -346,3 +346,32 @@ class TestGeneralLanesApply:
         ref = np.asarray(ref)
         np.testing.assert_allclose(got, ref, rtol=0,
                                    atol=1e-13 * np.abs(ref).max())
+
+
+class TestGeneralOperatorLanes:
+    """Lane-major general operator equals the patch-major oracle (cells on
+    lanes: no (C, n, n, n) tensor, no (C, Q, dim, dim) coefficient — six
+    symmetric (q, ..., q, C) components instead)."""
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_vmult_diag_rhs_match_oracle(self, dim):
+        mesh = hyper_ball_balanced(dim).refine()
+        dh = GeneralDofHandler(mesh, 3)
+        lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64)  # default
+        oracle = GeneralLaplaceOperator(dh, dtype=jnp.float64,
+                                        kernel="sumfac")
+        assert lanes.kernel == "lanes" and lanes.coeff6 is not None
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(dh.n_dofs))
+        got, ref = np.asarray(lanes.vmult(x)), np.asarray(oracle.vmult(x))
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=1e-12 * np.abs(ref).max())
+        dg, dr = (np.asarray(lanes.compute_inverse_diagonal()),
+                  np.asarray(oracle.compute_inverse_diagonal()))
+        np.testing.assert_allclose(dg, dr, rtol=1e-12)
+        f = lambda p: np.cos(p[:, 0]) + p[:, 1]
+        gfun = lambda p: p[:, 0] ** 2
+        bg = np.asarray(lanes.assemble_rhs(f, dirichlet=gfun))
+        br = np.asarray(oracle.assemble_rhs(f, dirichlet=gfun))
+        np.testing.assert_allclose(bg, br, rtol=0,
+                                   atol=1e-12 * np.abs(br).max())
