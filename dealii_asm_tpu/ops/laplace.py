@@ -367,6 +367,22 @@ class LaplaceOperator:
                 jnp.asarray(cc[..., a, b_] * (h[a] * h[b_]), dtype)
                 for a, b_ in pairs
             ]
+            # host f64 copies of the small shared transforms + pre-split
+            # coefficient tables for the double-single windowed f64 apply
+            # (tensorops.merged_laplace_apply_windowed_dd)
+            self._Nq_np = np.asarray(s0.N, np.float64)
+            self._Dq_np = [np.asarray(s0.D, np.float64) / self.mesh.h[d]
+                           for d in range(self.dim)]
+            self.coeff6_dd = None
+            if np.dtype(dtype) == np.float64 and kernel != "banded":
+                from .ddmath import split_table_np
+
+                tabs = []
+                for a, b_ in pairs:
+                    t64 = np.asarray(cc[..., a, b_], np.float64) * (
+                        h[a] * h[b_])
+                    tabs.extend(jnp.asarray(x) for x in split_table_np(t64))
+                self.coeff6_dd = tuple(tabs)
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
 
         # reference-gradient tensor for the fused-B path and diagonal
@@ -382,7 +398,10 @@ class LaplaceOperator:
         # the merged-geometry coefficient tensors are O(n): pass them as jit
         # ARGUMENTS (captured constants ship inside the compile request and
         # overflow remote-compile size limits at scale)
-        self._coeff_args = tuple(getattr(self, "coeff6", ()) or ())
+        if getattr(self, "coeff6_dd", None) is not None:
+            self._coeff_args = self.coeff6_dd
+        else:
+            self._coeff_args = tuple(getattr(self, "coeff6", ()) or ())
         self._vmult = jax.jit(lambda u, *c6: self._vmult_impl(u, c6))
         # fused-vector-op forms (the reference fuses pre/post vector updates
         # into the cell loop, operator.h:1368-1430; under XLA the fusion is
@@ -586,9 +605,33 @@ class LaplaceOperator:
             from .tensorops import (
                 merged_laplace_apply,
                 merged_laplace_apply_windowed,
+                merged_laplace_apply_windowed_dd,
             )
 
-            if self.kernel == "banded" or np.dtype(self.dtype) == np.float64:
+            if (np.dtype(self.dtype) == np.float64
+                    and getattr(self, "coeff6_dd", None) is not None):
+                # double-single windowed form: native-f32 Dekker/TwoSum
+                # arithmetic replaces XLA's emulated f64 (measured 1.91 s ->
+                # see experiments/results_r2.md at 7.2M Kershaw Q4)
+                from .ddmath import dd_from_f64, dd_to_f64
+
+                n_sym = 6 if self.dim == 3 else 3
+                c6 = coeff6 if len(coeff6) == 4 * n_sym else self.coeff6_dd
+                qn = self.n_q_1d
+                cells_zyx = tuple(reversed(self.mesh.n_cells))
+                ishape = tuple(
+                    v for cz in cells_zyx for v in (cz, qn))
+                c6dd = [tuple(t.reshape(ishape) for t in c6[4 * k: 4 * k + 4])
+                        for k in range(n_sym)]
+                ob = jax.lax.optimization_barrier
+                uh, ul = dd_from_f64(u0.reshape(self.grid_shape))
+                uh, ul = ob((uh, ul))
+                vh, vl = ob(merged_laplace_apply_windowed_dd(
+                    uh, ul, self._Nq_np, self._Dq_np, c6dd,
+                    self.mesh.n_cells, self.degree, self.mesh.periodic,
+                    self.dim))
+                dst = dd_to_f64(vh, vl).reshape(-1)
+            elif self.kernel == "banded" or np.dtype(self.dtype) == np.float64:
                 # window form: small shared transforms lower to cheap
                 # elementwise passes under f64 emulation (global dense
                 # E-matmuls are emulated f64 GEMMs, ~8x slower)

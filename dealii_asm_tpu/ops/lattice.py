@@ -117,6 +117,65 @@ def windows_to_grid(w, grid_shape: tuple, degree: int, overlap: int,
     return w
 
 
+def overlap_add_axis_dd(wh, wc, axis: int, n_nodes: int, degree: int,
+                        overlap: int, periodic: bool):
+    """overlap_add_axis on a double-single (hi, comp) pair.
+
+    The face planes where adjacent windows meet are the ONLY sums in the
+    windowed operator apply that live outside the dd-compensated axis
+    kernels; a plain hi-part add there would round away ~2⁻²⁴·|face value| —
+    the very compensation the dd path exists to keep.  Each strided face add
+    is a TwoSum with the error folded into the compensation plane."""
+    from .ddmath import two_sum
+
+    m_axis_ = axis + 1
+    wh = jnp.moveaxis(jnp.moveaxis(wh, m_axis_, -1), axis, -2)
+    wc = jnp.moveaxis(jnp.moveaxis(wc, m_axis_, -1), axis, -2)
+    C, m = wh.shape[-2], wh.shape[-1]
+    p = degree
+    lo, hi = _pad_amounts(n_nodes, C, p, m, overlap, periodic)
+    padded_len = n_nodes + lo + hi
+    out_h = jnp.zeros(wh.shape[:-2] + (padded_len,), wh.dtype)
+    out_c = jnp.zeros_like(out_h)
+    bulk = wh.shape[:-2] + (C * p,)
+    out_h = out_h.at[..., : C * p].set(wh[..., :, :p].reshape(bulk))
+    out_c = out_c.at[..., : C * p].set(wc[..., :, :p].reshape(bulk))
+    for s in range(p, m):
+        sl = slice(s, s + p * (C - 1) + 1, p)
+        a = out_h[..., sl]
+        sm, e = two_sum(a, wh[..., :, s])
+        out_h = out_h.at[..., sl].set(sm)
+        out_c = out_c.at[..., sl].add(e + wc[..., :, s])
+    if periodic:
+        ch_, cc_ = out_h[..., lo: lo + n_nodes], out_c[..., lo: lo + n_nodes]
+        for src, dst in (((slice(None, lo) if lo else None),
+                          slice(n_nodes - lo, None)),
+                         ((slice(lo + n_nodes, None) if hi else None),
+                          slice(None, hi))):
+            if src is None:
+                continue
+            a = ch_[..., dst]
+            sm, e = two_sum(a, out_h[..., src])
+            ch_ = ch_.at[..., dst].set(sm)
+            cc_ = cc_.at[..., dst].add(e + out_c[..., src])
+        out_h, out_c = ch_, cc_
+    else:
+        out_h = out_h[..., lo: lo + n_nodes]
+        out_c = out_c[..., lo: lo + n_nodes]
+    return (jnp.moveaxis(out_h, -1, axis), jnp.moveaxis(out_c, -1, axis))
+
+
+def windows_to_grid_dd(wh, wc, grid_shape: tuple, degree: int, overlap: int,
+                       periodic: tuple):
+    """windows_to_grid on a double-single pair (compensated face sums)."""
+    dim = len(grid_shape)
+    for a in range(dim):
+        d = dim - 1 - a
+        wh, wc = overlap_add_axis_dd(wh, wc, a, grid_shape[a], degree,
+                                     overlap, periodic[d])
+    return wh, wc
+
+
 def apply_axis_shared(w, m_axis: int, mat):
     """Contract a shared 1D matrix (out, in) against one m-axis of a window tensor."""
     w = jnp.moveaxis(w, m_axis, -1)

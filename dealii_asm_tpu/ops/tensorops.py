@@ -393,6 +393,127 @@ def separable_laplace_apply_banded_dd(uh, ul, Mdd, Kdd, offsets, dim: int,
     return v
 
 
+def _axis_apply_shared_dd(uh, ul, m_axis: int, M_np: np.ndarray):
+    """Shared small-matrix apply along one m-axis on a double-single pair.
+
+    M_np is a host f64 (out, in) matrix; every entry becomes four baked
+    scalar constants (Dekker split), so each of the out·in taps is one exact
+    TwoProd + compensated accumulation on (…,) f32 slabs — native VPU flops
+    instead of XLA's software-f64 mads (the same trick as
+    banded_axis_apply_dd, with scalars instead of diagonal tables)."""
+    from .ddmath import quick_two_sum, split12, two_sum
+
+    uh = jnp.moveaxis(uh, m_axis, 0)
+    ul = jnp.moveaxis(ul, m_axis, 0)
+    uhh, uhl = split12(uh)
+    Ch = M_np.astype(np.float32)
+    Cl = (M_np - Ch.astype(np.float64)).astype(np.float32)
+    c = np.float32(4097.0) * Ch
+    big = c - Ch
+    Chh = c - big
+    Chl = Ch - Chh
+    qo, qi = M_np.shape
+    outs_h, outs_c = [], []
+    for i in range(qo):
+        acc_h = acc_c = None
+        for j in range(qi):
+            ch, cl = float(Ch[i, j]), float(Cl[i, j])
+            chh, chl = float(Chh[i, j]), float(Chl[i, j])
+            if ch == 0.0 and cl == 0.0:
+                continue
+            p = ch * uh[j]
+            e = ((chh * uhh[j] - p) + chh * uhl[j]
+                 + chl * uhh[j]) + chl * uhl[j]
+            e = e + (ch * ul[j] + cl * uh[j])
+            if acc_h is None:
+                acc_h, acc_c = p, e
+            else:
+                acc_h, e2 = two_sum(acc_h, p)
+                acc_c = acc_c + (e2 + e)
+        h2, c2 = quick_two_sum(acc_h, acc_c)
+        outs_h.append(h2)
+        outs_c.append(c2)
+    return (jnp.moveaxis(jnp.stack(outs_h, 0), 0, m_axis),
+            jnp.moveaxis(jnp.stack(outs_c, 0), 0, m_axis))
+
+
+def _dd_mul_split_tab(tab4, gh, gl, ghh, ghl):
+    """(dd table with pre-split hi halves) × (dd tensor with pre-split hi)."""
+    ch, cl, chh, chl = tab4
+    p = ch * gh
+    e = ((chh * ghh - p) + chh * ghl + chl * ghh) + chl * ghl
+    e = e + (ch * gl + cl * gh)
+    return p, e
+
+
+def merged_laplace_apply_windowed_dd(uh_grid, ul_grid, Nq_np, Dq_np,
+                                     coeff6dd, n_cells, degree: int,
+                                     periodic, dim: int):
+    """merged_laplace_apply_windowed on a double-single (hi, lo) pair.
+
+    The f64 outer-Krylov matvec on deformed meshes: XLA's emulated-f64
+    windowed form measured 1.91 s at 7.2M DoFs (Kershaw Q4); this dd form
+    runs the same contraction graph in native f32 with error-free products
+    (Nq/Dq entries baked as split scalar constants; the merged coefficient
+    pre-split host-side into four f32 tables per symmetric component —
+    ddmath.split_table_np) and TwoSum-compensated window face sums
+    (lattice.windows_to_grid_dd).  ~47-bit result accuracy, VPU rate.
+
+    Nq_np: (q, p+1) host f64; Dq_np[d]: same, pre-scaled 1/h_d; coeff6dd:
+    six 4-tuples of f32 tables on the INTERLEAVED q-grid."""
+    from .ddmath import dd_add, split12
+    from .lattice import grid_to_windows, windows_to_grid_dd
+
+    m = degree + 1
+    wh = grid_to_windows(uh_grid, n_cells, degree, m, 1, periodic)
+    wl = grid_to_windows(ul_grid, n_cells, degree, m, 1, periodic)
+    mx = lambda d: 2 * (dim - 1 - d) + 1
+    ap = lambda t2, d_ax, M: _axis_apply_shared_dd(t2[0], t2[1], mx(d_ax), M)
+    NqT_np = np.ascontiguousarray(Nq_np.T)
+    DqT_np = [np.ascontiguousarray(D.T) for D in Dq_np]
+    u2 = (wh, wl)
+    if dim == 2:
+        a = ap(u2, 0, Nq_np)
+        d1 = ap(u2, 0, Dq_np[0])
+        gy = ap(a, 1, Dq_np[1])
+        gx = ap(d1, 1, Nq_np)
+        cxx, cyy, cxy = coeff6dd
+        gxs, gys = split12(gx[0]), split12(gy[0])
+        tx = dd_add(*_dd_mul_split_tab(cxx, gx[0], gx[1], *gxs),
+                    *_dd_mul_split_tab(cxy, gy[0], gy[1], *gys))
+        ty = dd_add(*_dd_mul_split_tab(cxy, gx[0], gx[1], *gxs),
+                    *_dd_mul_split_tab(cyy, gy[0], gy[1], *gys))
+        r = dd_add(*ap(ap(ty, 1, DqT_np[1]), 0, NqT_np),
+                   *ap(ap(tx, 1, NqT_np), 0, DqT_np[0]))
+    else:
+        a = ap(u2, 0, Nq_np)
+        d1 = ap(u2, 0, Dq_np[0])
+        b = ap(a, 1, Nq_np)
+        c_ = ap(a, 1, Dq_np[1])
+        e = ap(d1, 1, Nq_np)
+        gz = ap(b, 2, Dq_np[2])
+        gy = ap(c_, 2, Nq_np)
+        gx = ap(e, 2, Nq_np)
+        cxx, cyy, czz, cxy, cxz, cyz = coeff6dd
+        gxs, gys, gzs = split12(gx[0]), split12(gy[0]), split12(gz[0])
+
+        def contract(cA, cB, cC):
+            t = _dd_mul_split_tab(cA, gx[0], gx[1], *gxs)
+            t = dd_add(*t, *_dd_mul_split_tab(cB, gy[0], gy[1], *gys))
+            return dd_add(*t, *_dd_mul_split_tab(cC, gz[0], gz[1], *gzs))
+
+        tx = contract(cxx, cxy, cxz)
+        ty = contract(cxy, cyy, cyz)
+        tz = contract(cxz, cyz, czz)
+        w1 = ap(tz, 2, DqT_np[2])
+        w2 = ap(ty, 2, NqT_np)
+        w3 = ap(tx, 2, NqT_np)
+        r12 = dd_add(*ap(w1, 1, NqT_np), *ap(w2, 1, DqT_np[1]))
+        r3 = ap(w3, 1, NqT_np)
+        r = dd_add(*ap(r12, 0, NqT_np), *ap(r3, 0, DqT_np[0]))
+    return windows_to_grid_dd(r[0], r[1], uh_grid.shape, degree, 1, periodic)
+
+
 def merged_laplace_apply_windowed(u_grid, Nq, Dq, NqT, DqT, coeff6i,
                                   n_cells, degree: int, periodic, dim: int):
     """Deformed-geometry Laplace apply in window form: small shared per-cell

@@ -152,8 +152,8 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
 
     key = (A, M, control.tolerance, control.reduce, control.max_steps,
            b.shape, str(b.dtype), x0 is not None)
-    run = _CG_DEVICE_CACHE.get(key)
-    if run is None:
+    fns = _CG_DEVICE_CACHE.get(key)
+    if fns is None:
         # bounded cache: keys hold strong refs to operator/preconditioner
         # objects — evict oldest entries so long config sweeps don't retain
         # every problem's device tables
@@ -172,19 +172,27 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
         def norm(a):
             return jnp.sqrt(dot(a, a))
 
-        def run_impl(x, r):
+        def init_impl(x, r):
             res0 = norm(r)
             hist = jnp.zeros(max_steps + 1, res0.dtype).at[0].set(res0)
             init_done = res0 <= tol  # step-0 check (res < red·res0 is false)
             z = M(r)
             p = z
             rz = dot(r, z)
+            return (x, r, p, rz, jnp.int32(0), res0, res0, init_done,
+                    init_done, hist)
 
+        def chunk_impl(s, it_hi):
+            # run until convergence OR the chunk's iteration ceiling: a
+            # single unbounded while_loop dispatch of minutes crashes the
+            # TPU worker (watchdog) — measured on the 7.2M Kershaw solve;
+            # the host re-dispatches chunks until done (one scalar fetch
+            # per chunk)
             def cond(s):
-                return ~s[6]
+                return (~s[7]) & (s[4] < it_hi)
 
             def body(s):
-                x, r, p, rz, it, res, done, conv, hist = s
+                x, r, p, rz, it, res0, res, done, conv, hist = s
                 Ap = A(p)
                 pAp = dot(p, Ap)
                 breakdown = pAp == 0.0
@@ -211,30 +219,50 @@ def _cg_device(A, b, M, control: ReductionControl, x0) -> SolveResult:
 
                 pn, rzn = lax.cond(donen, lambda a: (a[1], a[2]), cont,
                                    (rn, p, rz))
-                return (xn, rn, pn, rzn, itn, resn, donen,
+                return (xn, rn, pn, rzn, itn, res0, resn, donen,
                         success & ~breakdown, hist)
 
-            s0 = (x, r, p, rz, jnp.int32(0), res0, init_done, init_done, hist)
-            out = lax.while_loop(cond, body, s0)
-            return out[0], out[4], out[7], out[8]
+            return lax.while_loop(cond, body, s)
 
         from ..utils.jitutils import jit_hoist_consts
 
         sds = jax.ShapeDtypeStruct(b.shape, b.dtype)
-        run = jit_hoist_consts(run_impl, sds, sds)
-        _CG_DEVICE_CACHE[key] = run
+        init = jit_hoist_consts(init_impl, sds, sds)
+        state_sds = jax.eval_shape(init_impl, sds, sds)
+        chunk = jit_hoist_consts(chunk_impl, state_sds,
+                                 jax.ShapeDtypeStruct((), jnp.int32))
+        fns = (init, chunk)
+        _CG_DEVICE_CACHE[key] = fns
+    init, chunk = fns
+
+    import time as _time
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x) if x0 is not None else b
-    xf, it, conv, hist = run(x, r)
-    # ONE host round-trip for all scalars: through the remote tunnel each
-    # separate fetch costs ~35 ms (measured: int(it) + np.asarray(hist) added
-    # ~70 ms/solve — 30% of the 17M-DoF headline solve time)
-    import jax
-
-    it, conv, hist = jax.device_get((it, conv, hist))
+    state = init(x, r)
+    # chunked dispatch: first chunk covers typical MG-preconditioned solves
+    # in ONE dispatch/fetch; long solves adapt the chunk to ~20 s dispatches
+    n_chunk, it_hi, prev_it = 32, 32, 0
+    while True:
+        t0 = _time.perf_counter()
+        state = chunk(state, jnp.int32(it_hi))
+        # ONE host round-trip per chunk for all scalars (through the remote
+        # tunnel each separate fetch costs ~35 ms; converged first chunks
+        # keep the round-1 single-fetch behavior)
+        it, done, conv, hist = jax.device_get(
+            (state[4], state[7], state[8], state[9]))
+        if bool(done):
+            break
+        dt = _time.perf_counter() - t0
+        its = int(it) - prev_it
+        if its > 0:
+            per_it = max(dt / its, 1e-6)
+            n_chunk = max(8, min(int(20.0 / per_it),
+                                 control.max_steps + 1))
+        prev_it = int(it)
+        it_hi = int(it) + n_chunk
     it = int(it)
-    return SolveResult(xf, it, bool(conv),
+    return SolveResult(state[0], it, bool(conv),
                        [float(v) for v in hist[: it + 1]])
 
 

@@ -177,3 +177,39 @@ class TestBandedApply:
         a = np.asarray(op64.vmult(jnp.asarray(u)))
         b = np.asarray(op32.vmult(jnp.asarray(u, jnp.float32)))
         assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+
+class TestMergedDDApply:
+    """Double-single windowed apply on deformed (merged-geometry) meshes —
+    the f64 outer-matvec path for Kershaw & friends
+    (tensorops.merged_laplace_apply_windowed_dd)."""
+
+    @pytest.mark.parametrize("periodic", [False, True])
+    @pytest.mark.parametrize("dim,cells", [(2, (5, 4)), (3, (4, 3, 3))])
+    def test_dd_matches_emulated_f64(self, periodic, dim, cells):
+        tf = kershaw_transform(0.3, 0.3) if dim == 3 else \
+            sinusoidal_displacement(0.08)
+        mesh = StructuredMesh(dim, cells, periodic=(periodic,) * dim,
+                              transform=tf)
+        dofs = DofHandler(mesh, 4)
+        op_dd = LaplaceOperator(dofs, mapping_degree=3, dtype=jnp.float64)
+        op_or = LaplaceOperator(dofs, mapping_degree=3, dtype=jnp.float64,
+                                kernel="banded")  # emulated windowed oracle
+        assert op_dd.coeff6_dd is not None
+        assert op_or.coeff6_dd is None
+        u = _random_vec(dofs.n_dofs)
+        a = np.asarray(op_dd.vmult(jnp.asarray(u)))
+        b = np.asarray(op_or.vmult(jnp.asarray(u)))
+        denom = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() / denom < 3e-13
+
+    def test_residual_uses_dd_tables(self):
+        tf = kershaw_transform(0.3, 0.3)
+        mesh = StructuredMesh(3, (3, 3, 3), transform=tf)
+        dofs = DofHandler(mesh, 3)
+        op = LaplaceOperator(dofs, mapping_degree=3, dtype=jnp.float64)
+        u = _random_vec(dofs.n_dofs)
+        b = _random_vec(dofs.n_dofs)
+        r = np.asarray(op.residual(jnp.asarray(b), jnp.asarray(u)))
+        expect = np.asarray(b) - np.asarray(op.vmult(jnp.asarray(u)))
+        assert np.abs(r - expect).max() < 1e-12 * max(1, np.abs(expect).max())
