@@ -246,48 +246,34 @@ def grid_to_cells_sliced(u_grid, n_cells: tuple, degree: int, m: int,
     128x).  A local dense (L, L) operator then applies as ONE large
     A(L,L) @ W(L,C) GEMM on the MXU."""
     dim = len(n_cells)
-    p = degree
-    up, _ = _padded_grid(u_grid, n_cells, degree, m, overlap, periodic)
-    cells_zyx = tuple(reversed(n_cells))
-    cols = [up[sl] for sl in _local_slices(dim, p, m, cells_zyx)]
-    w = jnp.stack(cols, axis=0)  # (L, Cz, Cy, Cx)
+    # via the interleaved windows (per-axis free reshape + 2·overlap−1 thin
+    # columns) and ONE transpose — NOT an m^dim-slice stack: XLA fuses a
+    # 125-way concatenate into every consumer's reads (measured 20 ms for
+    # extract+FDM at 912k DoFs on a v5e vs 3 ms for this form)
+    w = grid_to_windows(u_grid, n_cells, degree, m, overlap, periodic)
+    perm = tuple(range(1, 2 * dim, 2)) + tuple(range(0, 2 * dim, 2))
+    w = w.transpose(perm)  # (mz, my, mx, Cz, Cy, Cx)
     return w.reshape(m**dim, -1)
 
 
 def cells_to_grid_sliced(v, grid_shape: tuple, n_cells: tuple, degree: int,
                          m: int, overlap: int, periodic: tuple):
-    """Inverse of grid_to_cells_sliced: (L, C) -> grid, overlap-adding the
-    m^dim shifted slabs (each slab conflict-free)."""
+    """Inverse of grid_to_cells_sliced: (L, C) -> grid.
+
+    Routes through the interleaved-window overlap-add (windows_to_grid):
+    per axis ONE contiguous bulk add (a free p-strided reshape) plus
+    2·overlap−1 thin strided adds.  The direct form — m^dim strided 3D
+    scatter-adds of full cell slabs — measured 18.9 ms at 912k DoFs on a
+    v5e (125 relayout-heavy strided writes); this form ~0.1 ms."""
     dim = len(n_cells)
-    p = degree
     cells_zyx = tuple(reversed(n_cells))
-    pads = []
-    padded_shape = []
+    # L unravels as (m_z, m_y, m_x) with x fastest (see _local_slices)
+    w = v.reshape((m,) * dim + cells_zyx)
+    perm = []
     for a in range(dim):
-        d = dim - 1 - a
-        lo, hi = _pad_amounts(grid_shape[a], n_cells[d], degree, m, overlap,
-                              periodic[d])
-        pads.append((lo, hi))
-        padded_shape.append(grid_shape[a] + lo + hi)
-    out = jnp.zeros(tuple(padded_shape), v.dtype)
-    w = v.reshape((m**dim,) + cells_zyx)
-    for l, sl in enumerate(_local_slices(dim, p, m, cells_zyx)):
-        out = out.at[sl].add(w[l])
-    # unpad with periodic wrap-back
-    for a in range(dim):
-        d = dim - 1 - a
-        lo, hi = pads[a]
-        if lo == 0 and hi == 0:
-            continue
-        out = jnp.moveaxis(out, a, -1)
-        core = out[..., lo : lo + grid_shape[a]]
-        if periodic[d]:
-            if lo:
-                core = core.at[..., grid_shape[a] - lo :].add(out[..., :lo])
-            if hi:
-                core = core.at[..., :hi].add(out[..., lo + grid_shape[a] :])
-        out = jnp.moveaxis(core, -1, a)
-    return out
+        perm += [dim + a, a]  # (Cz, mz, Cy, my, Cx, mx)
+    w = w.transpose(perm)
+    return windows_to_grid(w, grid_shape, degree, overlap, periodic)
 
 
 def grid_to_cells(u_grid, n_cells: tuple, degree: int, m: int, overlap: int,
