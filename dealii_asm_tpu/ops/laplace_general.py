@@ -76,6 +76,8 @@ class GeneralLaplaceOperator:
         s = shape_1d(self.degree, self.n_q_1d)
         self.N1 = jnp.asarray(s.N, dtype)
         self.D1 = jnp.asarray(s.D, dtype)
+        self._N_np = np.asarray(s.N, np.float64)
+        self._D_np = np.asarray(s.D, np.float64)
         self._shape = s
 
         wq = _tensor_weights([s.w] * self.dim)
@@ -101,17 +103,30 @@ class GeneralLaplaceOperator:
         if kernel == "lanes":
             # six symmetric components, cells on lanes: (q, ..., q, C) each
             self.coeff = None
-            self.coeff6 = tuple(
-                jnp.asarray(np.ascontiguousarray(
-                    coeff[:, :, d, e].T.reshape((q,) * self.dim + (C,))),
-                    dtype)
-                for d, e in _SYM_PAIRS[self.dim])
+            comps_np = [np.ascontiguousarray(
+                coeff[:, :, d, e].T.reshape((q,) * self.dim + (C,)))
+                for d, e in _SYM_PAIRS[self.dim]]
+            self.coeff6 = tuple(jnp.asarray(c, dtype) for c in comps_np)
             self.cell_dofs_T = jnp.asarray(np.ascontiguousarray(
                 np.asarray(dofs.cell_dofs).T.astype(np.int32)))  # (L, C)
             self._coeff_args = self.coeff6
+            # f64 lanes: double-single local apply (native-f32 Dekker/TwoSum
+            # instead of XLA's software-emulated f64 — the outer-Krylov
+            # matvec on unstructured meshes; cf. laplace.py's windowed dd)
+            self.coeff6_dd = None
+            if np.dtype(dtype) == np.float64:
+                from .ddmath import split_table_np
+
+                tabs = []
+                for c in comps_np:
+                    tabs.extend(jnp.asarray(t)
+                                for t in split_table_np(c))
+                self.coeff6_dd = tuple(tabs)
+                self._coeff_args = self.coeff6_dd
         else:
             self.coeff = jnp.asarray(coeff, dtype)
             self.coeff6 = None
+            self.coeff6_dd = None
             self._coeff_args = (self.coeff,)
 
         # coefficients are O(cells): pass as jit arguments, not captured
@@ -181,6 +196,60 @@ class GeneralLaplaceOperator:
             raise NotImplementedError(dim)
         return v.reshape(n**dim, C)
 
+    def apply_local_lanes_dd(self, Wh, Wl, coeff6dd):
+        """apply_local_lanes on a double-single pair — the f64 outer matvec.
+
+        Shared 1D shape matrices apply as baked split-scalar dd FMAs
+        (tensorops._axis_apply_shared_dd); the six coefficient components
+        come pre-split (ddmath.split_table_np).  ~47-bit accuracy at native
+        f32 VPU rate (XLA's emulated f64 measured ~10x slower)."""
+        from .ddmath import dd_add, split12
+        from .tensorops import _axis_apply_shared_dd, _dd_mul_split_tab
+
+        dim, n = self.dim, self.degree + 1
+        C = Wh.shape[-1]
+        N, D = self._N_np, self._D_np
+        ap = _axis_apply_shared_dd
+        u2 = (Wh.reshape((n,) * dim + (C,)), Wl.reshape((n,) * dim + (C,)))
+
+        def contract(comps, grads, splits):
+            acc = None
+            for c6, g, gs in zip(comps, grads, splits):
+                t = _dd_mul_split_tab(c6, g[0], g[1], *gs)
+                acc = t if acc is None else dd_add(*acc, *t)
+            return acc
+
+        if dim == 2:
+            a = ap(*u2, 1, D)
+            gx = ap(a[0], a[1], 0, N)
+            b_ = ap(*u2, 1, N)
+            gy = ap(b_[0], b_[1], 0, D)
+            c00, c01, c11 = coeff6dd
+            gxs, gys = split12(gx[0]), split12(gy[0])
+            tx = contract((c00, c01), (gx, gy), (gxs, gys))
+            ty = contract((c01, c11), (gx, gy), (gxs, gys))
+            v = dd_add(
+                *ap(*ap(*tx, 1, D.T), 0, N.T),
+                *ap(*ap(*ty, 1, N.T), 0, D.T))
+        else:
+            t0 = ap(*u2, 2, N)
+            t1 = ap(*t0, 1, N)
+            gz = ap(*t1, 0, D)
+            gy = ap(*ap(*t0, 1, D), 0, N)
+            gx = ap(*ap(*ap(*u2, 2, D), 1, N), 0, N)
+            c00, c01, c02, c11, c12, c22 = coeff6dd
+            gxs, gys, gzs = split12(gx[0]), split12(gy[0]), split12(gz[0])
+            grads, splits = (gx, gy, gz), (gxs, gys, gzs)
+            tx = contract((c00, c01, c02), grads, splits)
+            ty = contract((c01, c11, c12), grads, splits)
+            tz = contract((c02, c12, c22), grads, splits)
+            Nt, Dt = N.T, D.T
+            v = dd_add(
+                *ap(*ap(*ap(*tx, 2, Dt), 1, Nt), 0, Nt),
+                *ap(*ap(*ap(*ty, 2, Nt), 1, Dt), 0, Nt))
+            v = dd_add(*v, *ap(*ap(*ap(*tz, 2, Nt), 1, Nt), 0, Dt))
+        return v[0].reshape(n**dim, C), v[1].reshape(n**dim, C)
+
     def _vmult_impl(self, u, *cf):
         if self.matmul_precision is not None:
             with jax.default_matmul_precision(self.matmul_precision):
@@ -189,7 +258,20 @@ class GeneralLaplaceOperator:
 
     def _vmult_inner(self, u, *cf):
         u0 = jnp.where(self.constrained, 0.0, u).astype(self.dtype)
-        if self.kernel == "lanes":
+        if self.kernel == "lanes" and self.coeff6_dd is not None:
+            from .ddmath import dd_from_f64
+
+            c6 = cf if cf else self.coeff6_dd
+            n_sym = len(_SYM_PAIRS[self.dim])
+            c6dd = [tuple(c6[4 * k: 4 * k + 4]) for k in range(n_sym)]
+            uh, ul = dd_from_f64(u0)
+            Wh = uh[self.cell_dofs_T]
+            Wl = ul[self.cell_dofs_T]
+            vh, vl = self.apply_local_lanes_dd(Wh, Wl, c6dd)
+            v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+            dst = jnp.zeros_like(u0).at[self.cell_dofs_T.reshape(-1)].add(
+                v.reshape(-1))
+        elif self.kernel == "lanes":
             coeff6 = cf if cf else self.coeff6
             W = u0[self.cell_dofs_T]  # (L, C), cells on lanes
             v = self.apply_local_lanes(W, coeff6)

@@ -361,6 +361,7 @@ class TestGeneralOperatorLanes:
         oracle = GeneralLaplaceOperator(dh, dtype=jnp.float64,
                                         kernel="sumfac")
         assert lanes.kernel == "lanes" and lanes.coeff6 is not None
+        assert lanes.coeff6_dd is not None  # f64: double-single local apply
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.standard_normal(dh.n_dofs))
         got, ref = np.asarray(lanes.vmult(x)), np.asarray(oracle.vmult(x))
