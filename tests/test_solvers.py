@@ -165,3 +165,35 @@ class TestDDCG:
         v_dd = np.asarray(dd_to_f64(vh, vl))
         v_64 = np.asarray(op.vmult(u))
         assert np.abs(v_dd - v_64).max() <= 1e-11 * np.abs(v_64).max()
+
+
+class TestChunkedDeviceCG:
+    """The device CG re-dispatches in bounded chunks (first chunk 32
+    iterations) so no while_loop dispatch runs for minutes — a multi-minute
+    dispatch crashes the TPU worker (7.2M Kershaw, staged probe).  A solve
+    crossing several chunk boundaries must match the host loop exactly."""
+
+    def test_long_solve_crosses_chunks(self):
+        from dealii_asm_tpu.fem.dofs import DofHandler
+        from dealii_asm_tpu.mesh.grid import StructuredMesh
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.precond.factory import DiagonalPreconditioner
+
+        mesh = StructuredMesh(2, (24, 24))
+        dofs = DofHandler(mesh, 2)
+        op = LaplaceOperator(dofs, dtype=jnp.float64)
+        M = DiagonalPreconditioner(op)
+        b = op.assemble_rhs(lambda p: np.ones(len(p)))
+        ctl = ReductionControl(500, 1e-16, 1e-10)
+        dev = cg(op.vmult, b, M=M.vmult, control=ctl)
+        host = cg(op.vmult, b, M=M.vmult, control=ctl, device_loop=False)
+        assert dev.converged and host.converged
+        assert dev.n_iterations > 32  # crossed at least one chunk boundary
+        assert dev.n_iterations == host.n_iterations
+        np.testing.assert_allclose(np.asarray(dev.x), np.asarray(host.x),
+                                   rtol=0, atol=1e-9)
+        # same monitoring convention/length; values agree to summation-order
+        # noise (which is amplified near the 1e-12 residual floor)
+        assert len(dev.residuals) == len(host.residuals)
+        np.testing.assert_allclose(dev.residuals[:20], host.residuals[:20],
+                                   rtol=1e-5)
