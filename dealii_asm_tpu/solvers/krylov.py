@@ -322,19 +322,25 @@ def _cg_device_dd(op, b, M, control: ReductionControl, x0) -> SolveResult:
         def norm_dd(ah, al):
             return jnp.sqrt(_dot_dd(ah, al, ah, al))
 
-        def run_impl(xh, xl, rh, rl):
+        def init_impl(xh, xl, rh, rl):
             res0 = norm_dd(rh, rl)
             hist = jnp.zeros(max_steps + 1, res0.dtype).at[0].set(res0)
             init_done = res0 <= tol
             z = M(rh)
             ph, pl = z, jnp.zeros_like(z)
             rz = _dot_dd(rh, rl, z, jnp.zeros_like(z))
+            return (xh, xl, rh, rl, ph, pl, rz, jnp.int32(0), res0, res0,
+                    init_done, init_done, hist)
 
+        def chunk_impl(s, it_hi):
+            # bounded chunks, as in _cg_device: multi-minute while_loop
+            # dispatches crash the TPU worker
             def cond(s):
-                return ~s[9]
+                return (~s[10]) & (s[7] < it_hi)
 
             def body(s):
-                xh, xl, rh, rl, ph, pl, rz, it, res, done, conv, hist = s
+                (xh, xl, rh, rl, ph, pl, rz, it, res0, res, done, conv,
+                 hist) = s
                 qh, ql = op.vmult_dd(ph, pl)
                 pAp = _dot_dd(ph, pl, qh, ql)
                 breakdown = pAp == 0.0
@@ -367,18 +373,23 @@ def _cg_device_dd(op, b, M, control: ReductionControl, x0) -> SolveResult:
                 phn, pln, rzn = lax.cond(
                     donen, lambda a: (a[2], a[3], a[4]), cont,
                     (rhn, rln, ph, pl, rz))
-                return (xhn, xln, rhn, rln, phn, pln, rzn, itn, resn,
+                return (xhn, xln, rhn, rln, phn, pln, rzn, itn, res0, resn,
                         donen, success & ~breakdown, hist)
 
-            s0 = (xh, xl, rh, rl, ph, pl, rz, jnp.int32(0), res0,
-                  init_done, init_done, hist)
-            out = lax.while_loop(cond, body, s0)
-            return dd_to_f64(out[0], out[1]), out[7], out[10], out[11]
+            return lax.while_loop(cond, body, s)
+
+        def merge_impl(s):
+            return dd_to_f64(s[0], s[1])
 
         from ..utils.jitutils import jit_hoist_consts
 
         sds = jax.ShapeDtypeStruct(b.shape, jnp.float32)
-        run = jit_hoist_consts(run_impl, sds, sds, sds, sds)
+        init = jit_hoist_consts(init_impl, sds, sds, sds, sds)
+        state_sds = jax.eval_shape(init_impl, sds, sds, sds, sds)
+        chunk = jit_hoist_consts(chunk_impl, state_sds,
+                                 jax.ShapeDtypeStruct((), jnp.int32))
+        merge = jax.jit(merge_impl)
+        run = (init, chunk, merge)
         _CG_DD_CACHE[key] = run
 
     bh, bl = dd_from_f64(b)
@@ -392,12 +403,29 @@ def _cg_device_dd(op, b, M, control: ReductionControl, x0) -> SolveResult:
         xh, xl = dd_from_f64(x0.astype(b.dtype))
         qh, ql = op.vmult_dd(xh, xl)
         rh, rl = _axpy(*_split(jnp.float64(-1.0)), qh, ql, bh, bl)
-    xf, it, conv, hist = run(xh, xl, rh, rl)
+    init, chunk, merge = run
+    import time as _time
+
     import jax as _jax
 
-    it, conv, hist = _jax.device_get((it, conv, hist))
+    state = init(xh, xl, rh, rl)
+    n_chunk, it_hi, prev_it = 32, 32, 0
+    while True:
+        t0 = _time.perf_counter()
+        state = chunk(state, jnp.int32(it_hi))
+        it, done, conv, hist = _jax.device_get(
+            (state[7], state[10], state[11], state[12]))
+        if bool(done):
+            break
+        dt = _time.perf_counter() - t0
+        its = int(it) - prev_it
+        if its > 0:
+            n_chunk = max(8, min(int(20.0 / max(dt / its, 1e-6)),
+                                 control.max_steps + 1))
+        prev_it = int(it)
+        it_hi = int(it) + n_chunk
     it = int(it)
-    return SolveResult(xf, it, bool(conv),
+    return SolveResult(merge(state), it, bool(conv),
                        [float(v) for v in hist[: it + 1]])
 
 
