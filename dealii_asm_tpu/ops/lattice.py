@@ -195,48 +195,6 @@ def apply_axis_percoord(w, c_axis: int, m_axis: int, mats, transpose: bool):
     return jnp.moveaxis(w, -1, m_axis)
 
 
-def _padded_grid(u_grid, n_cells, degree, m, overlap, periodic):
-    dim = len(n_cells)
-    pads = []
-    for a in range(dim):
-        d = dim - 1 - a
-        lo, hi = _pad_amounts(u_grid.shape[a], n_cells[d], degree, m, overlap,
-                              periodic[d])
-        pads.append((lo, hi))
-    if any(p != (0, 0) for p in pads):
-        if any(periodic):
-            # mixed modes: pad axis-wise
-            for a in range(dim):
-                d = dim - 1 - a
-                if pads[a] == (0, 0):
-                    continue
-                pad = [(0, 0)] * dim
-                pad[a] = pads[a]
-                u_grid = jnp.pad(u_grid, pad,
-                                 mode="wrap" if periodic[d] else "constant")
-        else:
-            u_grid = jnp.pad(u_grid, pads)
-    return u_grid, pads
-
-
-def _local_slices(dim, p, m, cells_zyx):
-    """The m^dim strided grid slices, ordered by flat local index (x fastest)."""
-    out = []
-    for l in range(m**dim):
-        offs = []
-        ll = l
-        for _ in range(dim):
-            offs.append(ll % m)
-            ll //= m
-        # offs = (i, j, k); grid axes are (z, y, x)
-        out.append(tuple(
-            slice(offs[dim - 1 - a], offs[dim - 1 - a]
-                  + p * (cells_zyx[a] - 1) + 1, p)
-            for a in range(dim)
-        ))
-    return out
-
-
 def grid_to_cells_sliced(u_grid, n_cells: tuple, degree: int, m: int,
                          overlap: int, periodic: tuple):
     """Grid -> (L, C) via m^dim strided slices, L = m^dim.
@@ -267,7 +225,7 @@ def cells_to_grid_sliced(v, grid_shape: tuple, n_cells: tuple, degree: int,
     v5e (125 relayout-heavy strided writes); this form ~0.1 ms."""
     dim = len(n_cells)
     cells_zyx = tuple(reversed(n_cells))
-    # L unravels as (m_z, m_y, m_x) with x fastest (see _local_slices)
+    # L unravels as (m_z, m_y, m_x) with x fastest
     w = v.reshape((m,) * dim + cells_zyx)
     perm = []
     for a in range(dim):
