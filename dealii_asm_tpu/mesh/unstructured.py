@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import functools
+
 import numpy as np
 
 # lexicographic local vertex coordinates (x fastest), dim 2 and 3
@@ -39,7 +41,10 @@ _VERTEX_COORDS = {
 
 # deal.II face numbering: face 2d+s is orthogonal to axis d, side s (0=lo, 1=hi).
 # Local vertex ids of each face, in the face's own lexicographic order
-# (fastest axis = lowest remaining axis).
+# (fastest axis = lowest remaining axis).  Cached: face_key() is called per
+# cell-face in setup loops (recomputing this table dominated the 131k-cell
+# ball FDM setup — treat the returned arrays as read-only).
+@functools.lru_cache(maxsize=None)
 def _face_vertices(dim: int) -> list[np.ndarray]:
     vc = _VERTEX_COORDS[dim]
     faces = []
