@@ -110,28 +110,50 @@ class UnstructuredMesh:
         fv = _face_vertices(self.dim)[face]
         return tuple(sorted(self.cells[cell, fv]))
 
-    def face_neighbors(self) -> np.ndarray:
-        """(C, 2*dim) neighbor cell id across each face; -1 at the boundary.
+    def invalidate_caches(self) -> None:
+        """Drop memoized topology/geometry tables after in-place mutation
+        (cell flips in _fix_cell_orientations, chart attachment)."""
+        for name in ("_face_tables_cache", "_mapping_points_cache",
+                     "_cell_extents_cache"):
+            if hasattr(self, name):
+                delattr(self, name)
 
-        Mirrors the neighbor walk of extract_all_surrounding_cells
-        (/root/reference/include/grid_tools.h:172-289) restricted to faces.
-        """
+    def _face_tables(self):
+        """Cached (neighbor cell, neighbor face) per (cell, face), vectorized.
+
+        Sort all C·2dim face-vertex keys lexicographically; interior faces
+        appear exactly twice as adjacent rows (grid_tools.h:172-289 walk,
+        done once for the whole mesh instead of per query)."""
+        cached = getattr(self, "_face_tables_cache", None)
+        if cached is not None:
+            return cached
         fv = _face_vertices(self.dim)
         C = self.n_cells_total
-        table: dict[tuple, list[tuple[int, int]]] = {}
-        for c in range(C):
-            for f in range(2 * self.dim):
-                key = tuple(sorted(self.cells[c, fv[f]]))
-                table.setdefault(key, []).append((c, f))
-        out = np.full((C, 2 * self.dim), -1, dtype=np.int64)
-        for key, lst in table.items():
-            if len(lst) == 2:
-                (c0, f0), (c1, f1) = lst
-                out[c0, f0] = c1
-                out[c1, f1] = c0
-            elif len(lst) > 2:
-                raise ValueError("non-manifold face")
-        return out
+        F = 2 * self.dim
+        keys = np.sort(
+            np.stack([self.cells[:, fv[f]] for f in range(F)], axis=1),
+            axis=2).reshape(C * F, -1)
+        order = np.lexsort(keys.T[::-1])
+        s = keys[order]
+        eq = np.all(s[1:] == s[:-1], axis=1)
+        if np.any(eq[1:] & eq[:-1]):
+            raise ValueError("non-manifold face")
+        a, b = order[:-1][eq], order[1:][eq]
+        nbr = np.full(C * F, -1, dtype=np.int64)
+        nface = np.full(C * F, -1, dtype=np.int64)
+        nbr[a], nbr[b] = b // F, a // F
+        nface[a], nface[b] = b % F, a % F
+        cached = (nbr.reshape(C, F), nface.reshape(C, F))
+        self._face_tables_cache = cached
+        return cached
+
+    def face_neighbors(self) -> np.ndarray:
+        """(C, 2*dim) neighbor cell id across each face; -1 at the boundary."""
+        return self._face_tables()[0]
+
+    def face_neighbor_faces(self) -> np.ndarray:
+        """(C, 2*dim) the neighbor's local face index sharing each face; -1."""
+        return self._face_tables()[1]
 
     def boundary_faces(self) -> list[tuple[int, int]]:
         nbr = self.face_neighbors()
@@ -140,9 +162,12 @@ class UnstructuredMesh:
 
     def boundary_vertex_mask(self) -> np.ndarray:
         fv = _face_vertices(self.dim)
+        nbr = self.face_neighbors()
         mask = np.zeros(self.n_vertices, dtype=bool)
-        for c, f in self.boundary_faces():
-            mask[self.cells[c, fv[f]]] = True
+        for f in range(2 * self.dim):
+            bc = nbr[:, f] < 0
+            if bc.any():
+                mask[self.cells[bc][:, fv[f]].ravel()] = True
         return mask
 
     # -- refinement ------------------------------------------------------------
@@ -323,6 +348,13 @@ class UnstructuredMesh:
         """
         from ..fem.lagrange import gauss_lobatto_points
 
+        cache = getattr(self, "_mapping_points_cache", None)
+        if cache is None:
+            cache = self._mapping_points_cache = {}
+        hit = cache.get(mapping_degree)
+        if hit is not None:
+            return hit
+
         dim = self.dim
         gll = gauss_lobatto_points(mapping_degree + 1)
         from .grid import _tensor_lattice
@@ -336,8 +368,10 @@ class UnstructuredMesh:
             C, L = self.n_cells_total, unit.shape[0]
             refs = clo[:, None, :] + ch[:, None, None] * unit[None, :, :]
             ids = np.repeat(cc, L)
-            return self.chart.eval(ids, refs.reshape(C * L, dim)).reshape(
+            sp = self.chart.eval(ids, refs.reshape(C * L, dim)).reshape(
                 C, L, dim)
+            cache[mapping_degree] = sp
+            return sp
         # multilinear shape functions at unit points
         vc = _VERTEX_COORDS[dim].astype(np.float64)
         w = np.ones((unit.shape[0], vc.shape[0]))
@@ -348,6 +382,7 @@ class UnstructuredMesh:
 
         if self.project is not None:
             sp = self._project_boundary_lattices(sp, unit, mapping_degree)
+        cache[mapping_degree] = sp
         return sp
 
     def _project_boundary_lattices(self, sp: np.ndarray, unit: np.ndarray,
@@ -420,10 +455,15 @@ class UnstructuredMesh:
         from ..fem.lagrange import gauss_points
         from .grid import _tensor_lattice_nd, _tensor_weights
 
+        cache = getattr(self, "_cell_extents_cache", None)
+        if cache is None:
+            cache = self._cell_extents_cache = {}
+        hit = cache.get(n_q_1d)
+        if hit is not None:
+            return hit
         q, w = gauss_points(n_q_1d)
         C = self.n_cells_total
         out = np.empty((C, self.dim))
-        mp = self.cell_mapping_points(1)  # trilinear is enough for extents? use degree 2 if curved
         mdeg = 1 if self.project is None else 2
         for d in range(self.dim):
             axes = [q] * self.dim
@@ -438,6 +478,7 @@ class UnstructuredMesh:
             wf = _tensor_weights([w if i != d else np.array([1.0])
                                   for i in range(self.dim)])
             out[:, d] = dist @ wf
+        cache[n_q_1d] = out
         return out
 
     def _physical_points(self, unit_pts: np.ndarray, mapping_degree: int) -> np.ndarray:
@@ -464,27 +505,16 @@ class UnstructuredMesh:
         """
         ext = self.harmonic_cell_extents(n_q_1d)
         nbr = self.face_neighbors()
+        nf = self.face_neighbor_faces()
         C = self.n_cells_total
         out = np.zeros((C, self.dim, 3))
         out[:, :, 1] = ext
-        # for each face, the neighbor's extent along the axis orthogonal to the
-        # shared face as seen from the neighbor
-        fv = _face_vertices(self.dim)
-        # neighbor face lookup: face of n shared with c
-        for c in range(C):
-            for f in range(2 * self.dim):
-                n = nbr[c, f]
-                if n < 0:
-                    continue
-                d, s = f // 2, f % 2
-                # which face of n is shared?
-                key = self.face_key(c, f)
-                nd = None
-                for g in range(2 * self.dim):
-                    if self.face_key(n, g) == key:
-                        nd = g // 2
-                        break
-                out[c, d, 2 * s] = ext[n, nd]
+        # for each face, the neighbor's extent along ITS axis orthogonal to
+        # the shared face (vectorized over cells)
+        for f in range(2 * self.dim):
+            valid = nbr[:, f] >= 0
+            d, s = f // 2, f % 2
+            out[valid, d, 2 * s] = ext[nbr[valid, f], nf[valid, f] // 2]
         return out
 
     def max_aspect_ratio(self, n_q_1d: int = 2) -> float:
@@ -662,6 +692,7 @@ def hyper_ball_balanced(dim: int, radius: float = 1.0) -> UnstructuredMesh:
     # transfinite chart AFTER orientation fixes (it reads the final cell
     # vertex order); `project` stays attached as the curved-geometry marker
     mesh.chart = BallChart(mesh.vertices, mesh.cells, radius)
+    mesh.invalidate_caches()
     return mesh
 
 
@@ -681,6 +712,7 @@ def _fix_cell_orientations(mesh: UnstructuredMesh) -> None:
         flipped[0] = 1 - flipped[0]
         perm[i] = int(np.where((vc == flipped).all(axis=1))[0][0])
     mesh.cells[bad] = mesh.cells[bad][:, perm]
+    mesh.invalidate_caches()
     J = mesh.jacobians(1, q)
     det = np.linalg.det(J[:, 0])
     assert (det > 0).all(), "cell orientation fix failed"

@@ -27,18 +27,26 @@ from .fdm import (
     FDMCollection,
     build_fdm_collection,
     fdm_1d_matrices,
+    fdm_1d_matrices_batched,
     vertex_patch_1d_matrices,
+    vertex_patch_1d_matrices_batched,
 )
 
 
-def _dedup_collection(keys: np.ndarray, build) -> FDMCollection:
+def _dedup_collection(keys: np.ndarray, build,
+                      build_batched=None) -> FDMCollection:
     """Build an FDMCollection from per-(patch, dim) keys and a builder.
 
     keys: (P, dim, k) float; build(d, key_row) -> (M, K).
+    build_batched (optional): build_batched(d, uniq (U, k)) -> (M (U,m,m),
+    K (U,m,m)) — used with the batched eigensolver so deformed meshes
+    (every key distinct, U ≈ P) set up in vectorized numpy instead of a
+    per-key Python loop (the >25-min wall of the 131k-cell ball at L=5).
     """
     import scipy.linalg as sla
 
     from .. import native
+    from .fdm import batched_generalized_eigh
 
     def _eigh(K, M):
         out = native.generalized_eigh(K, M)
@@ -52,6 +60,12 @@ def _dedup_collection(keys: np.ndarray, build) -> FDMCollection:
     for d in range(dim):
         uniq, inv = np.unique(keys[:, d, :], axis=0, return_inverse=True)
         ids[:, d] = inv.astype(np.int32)
+        if build_batched is not None:
+            M, K = build_batched(d, uniq)
+            lam, V = batched_generalized_eigh(K, M)
+            eigvecs.append(V)
+            eigvals.append(lam)
+            continue
         V = None
         lam = None
         for u, key in enumerate(uniq):
@@ -191,11 +205,16 @@ class ASMPreconditioner:
                 return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r),
                                        bc_l, bc_r, n_q_1d)
 
+            def build_batched(d, uniq):
+                return fdm_1d_matrices_batched(
+                    p, n_overlap, uniq[:, 0:3],
+                    uniq[:, 3] > 0.5, uniq[:, 4] > 0.5, n_q_1d)
+
             keys = np.concatenate(
                 [np.round(extents, 12),
                  (nbr[:, :, 0:1] >= 0).astype(np.float64),
                  (nbr[:, :, 1:2] >= 0).astype(np.float64)], axis=2)  # (C,dim,5)
-            self.collection = _dedup_collection(keys, build)
+            self.collection = _dedup_collection(keys, build, build_batched)
         elif patch_type == "vertex":
             self.m = 2 * p - 1
             idx, anchors = vertex_patch_indices(dofs)
@@ -204,10 +223,13 @@ class ASMPreconditioner:
                 h0, h1 = key
                 return vertex_patch_1d_matrices(p, (h0, h1), n_q_1d)
 
+            def build_batched(d, uniq):
+                return vertex_patch_1d_matrices_batched(p, uniq, n_q_1d)
+
             # two cells per dim: anchor cell and its upper neighbor; the patch
             # extents are [own, right-neighbor] of the anchor
             keys = np.round(extents[anchors][:, :, 1:3], 12)  # (P, dim, 2)
-            self.collection = _dedup_collection(keys, build)
+            self.collection = _dedup_collection(keys, build, build_batched)
         else:
             raise ValueError(patch_type)
 

@@ -22,7 +22,7 @@ import numpy as np
 from ..fem.general_dofs import GeneralDofHandler
 from .asm import (_batched_apply, _dedup_collection, build_lanes_tables,
                   fdm_apply_lanes)
-from .fdm import fdm_1d_matrices
+from .fdm import fdm_1d_matrices, fdm_1d_matrices_batched
 
 
 class GeneralASMPreconditioner:
@@ -55,10 +55,15 @@ class GeneralASMPreconditioner:
             return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r), bc_l, bc_r,
                                    n_q_1d)
 
+        def build_batched(d, uniq):
+            return fdm_1d_matrices_batched(
+                p, n_overlap, uniq[:, 0:3],
+                uniq[:, 3] > 0.5, uniq[:, 4] > 0.5, n_q_1d)
+
         keys = np.concatenate(
             [np.round(extents, 12), has_l[:, :, None], has_r[:, :, None]],
             axis=2)  # (C, dim, 5)
-        self.collection = _dedup_collection(keys, build)
+        self.collection = _dedup_collection(keys, build, build_batched)
 
         n = dofs.n_dofs
         mask = dofs.boundary_mask

@@ -103,6 +103,96 @@ def fdm_1d_matrices(
     return Mw, Kw
 
 
+def batched_generalized_eigh(K: np.ndarray, M: np.ndarray):
+    """Batched K v = λ M v for stacks of small SPD pairs.
+
+    K, M: (U, m, m).  Returns (lam (U, m) ascending, V (U, m, m)) with
+    columns M-orthonormal — the same contract as scipy.linalg.eigh(K, M),
+    vectorized via Cholesky reduction (M = LLᵀ, A = L⁻¹KL⁻ᵀ, v = L⁻ᵀy).
+    The per-matrix loop this replaces dominated unstructured FDM setup
+    (~400k distinct extents on a curved ball at 131k cells)."""
+    L = np.linalg.cholesky(M)
+    Linv = np.linalg.inv(L)
+    LinvT = np.swapaxes(Linv, -1, -2)
+    A = Linv @ K @ LinvT
+    A = 0.5 * (A + np.swapaxes(A, -1, -2))
+    lam, Y = np.linalg.eigh(A)
+    V = LinvT @ Y
+    return lam, V
+
+
+def fdm_1d_matrices_batched(
+    degree: int,
+    n_overlap: int,
+    extents: np.ndarray,          # (U, 3) [h_l, h_c, h_r]; h<=0 = absent
+    internal_left: np.ndarray,    # (U,) bool: left neighbor exists
+    internal_right: np.ndarray,   # (U,) bool
+    n_q_1d: int | None = None,
+):
+    """Vectorized ``fdm_1d_matrices`` over U keys → (M (U,m,m), K (U,m,m)).
+
+    Missing-neighbor sides get Dirichlet treatment (the only case the
+    smoothers use; pass through the scalar builder for Neumann)."""
+    p = degree
+    m = p - 1 + 2 * n_overlap
+    M_ref, K_ref = reference_mass_stiffness_1d(degree, n_q_1d)
+    n = p + 1
+    size = 3 * p + 1
+    U = extents.shape[0]
+    M3 = np.zeros((U, size, size))
+    K3 = np.zeros((U, size, size))
+    for c in range(3):
+        h = extents[:, c]
+        present = h > 0.0
+        hm = np.where(present, h, 0.0)
+        hinv = np.where(present, 1.0 / np.where(present, h, 1.0), 0.0)
+        sl = slice(c * p, c * p + n)
+        M3[:, sl, sl] += M_ref[None] * hm[:, None, None]
+        K3[:, sl, sl] += K_ref[None] * hinv[:, None, None]
+    lo = p - (n_overlap - 1)
+    Mw = np.ascontiguousarray(M3[:, lo:lo + m, lo:lo + m])
+    Kw = np.ascontiguousarray(K3[:, lo:lo + m, lo:lo + m])
+
+    def _clear(mask, i):
+        # decouple slot i for the masked keys: zero row/col, unit diagonal
+        Mw[mask, i, :] = 0.0
+        Mw[mask, :, i] = 0.0
+        Kw[mask, i, :] = 0.0
+        Kw[mask, :, i] = 0.0
+        Mw[mask, i, i] = 1.0
+        Kw[mask, i, i] = 1.0
+
+    internal_left = np.asarray(internal_left, dtype=bool)
+    internal_right = np.asarray(internal_right, dtype=bool)
+    absent_l = extents[:, 0] <= 0.0
+    absent_r = extents[:, 2] <= 0.0
+    for i in range(0, n_overlap - 1):            # ghost slots, left
+        _clear(absent_l, i)
+    _clear(absent_l & ~internal_left, n_overlap - 1)   # Dirichlet boundary
+    for i in range(m - (n_overlap - 1), m):      # ghost slots, right
+        _clear(absent_r, i)
+    _clear(absent_r & ~internal_right, m - n_overlap)
+    return Mw, Kw
+
+
+def vertex_patch_1d_matrices_batched(degree: int, extents: np.ndarray,
+                                     n_q_1d: int | None = None):
+    """Vectorized ``vertex_patch_1d_matrices``: extents (U, 2) → (U, m, m)²."""
+    p = degree
+    n = p + 1
+    M_ref, K_ref = reference_mass_stiffness_1d(degree, n_q_1d)
+    h0, h1 = extents[:, 0], extents[:, 1]
+    m = 2 * (n - 1) - 1
+    U = extents.shape[0]
+    M = np.zeros((U, m, m))
+    K = np.zeros((U, m, m))
+    M[:, : n - 1, : n - 1] += M_ref[None, 1:, 1:] * h0[:, None, None]
+    K[:, : n - 1, : n - 1] += K_ref[None, 1:, 1:] / h0[:, None, None]
+    M[:, n - 2 :, n - 2 :] += M_ref[None, : n - 1, : n - 1] * h1[:, None, None]
+    K[:, n - 2 :, n - 2 :] += K_ref[None, : n - 1, : n - 1] / h1[:, None, None]
+    return M, K
+
+
 def vertex_patch_1d_matrices(degree: int, extents, n_q_1d: int | None = None):
     """1D vertex-patch (M, K): interior of a 2-cell assembly, size 2p-1.
 
