@@ -191,3 +191,73 @@ def test_lanes_fdm_apply_matches_gather_oracle(ptype, ov, wt):
     got = np.asarray(asm.vmult(x))
     ref = _gather_reference_apply(asm, x)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13 * np.abs(ref).max())
+
+
+def test_batched_fdm_builders_match_scalar():
+    """fdm_1d_matrices_batched / vertex_patch_1d_matrices_batched /
+    batched_generalized_eigh reproduce the scalar builders (the vectorized
+    setup path that unblocked the 131k-cell ball: every harmonic extent is
+    distinct on a curved mesh, so setup cost is one batched eigh, not ~400k
+    sequential scipy calls)."""
+    import numpy as np
+    import scipy.linalg as sla
+
+    from dealii_asm_tpu.precond.fdm import (
+        batched_generalized_eigh,
+        fdm_1d_matrices,
+        fdm_1d_matrices_batched,
+        vertex_patch_1d_matrices,
+        vertex_patch_1d_matrices_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    for p, ov in ((2, 1), (3, 2), (4, 1)):
+        U = 17
+        ext = rng.uniform(0.5, 2.0, (U, 3))
+        il = rng.random(U) > 0.3
+        ir = rng.random(U) > 0.3
+        ext[~il, 0] = 0.0
+        ext[~ir, 2] = 0.0
+        Mb, Kb = fdm_1d_matrices_batched(p, ov, ext, il, ir)
+        for u in range(U):
+            M, K = fdm_1d_matrices(
+                p, ov, tuple(ext[u]),
+                "internal" if il[u] else "dirichlet",
+                "internal" if ir[u] else "dirichlet")
+            np.testing.assert_allclose(Mb[u], M, atol=1e-14)
+            np.testing.assert_allclose(Kb[u], K, atol=1e-14)
+        lam, V = batched_generalized_eigh(Kb, Mb)
+        for u in range(U):
+            w, _ = sla.eigh(Kb[u], Mb[u])
+            np.testing.assert_allclose(lam[u], w, atol=1e-9)
+            m = Mb.shape[-1]
+            np.testing.assert_allclose(V[u].T @ Mb[u] @ V[u], np.eye(m),
+                                       atol=1e-8)
+            np.testing.assert_allclose(Kb[u] @ V[u],
+                                       Mb[u] @ V[u] @ np.diag(lam[u]),
+                                       atol=1e-8)
+        ext2 = rng.uniform(0.5, 2.0, (U, 2))
+        M2, K2 = vertex_patch_1d_matrices_batched(p, ext2)
+        for u in range(U):
+            M, K = vertex_patch_1d_matrices(p, tuple(ext2[u]))
+            np.testing.assert_allclose(M2[u], M, atol=1e-14)
+            np.testing.assert_allclose(K2[u], K, atol=1e-14)
+
+
+def test_mesh_cache_invalidation_on_mutation():
+    """In-place cell flips / chart attachment must drop memoized topology
+    and mapping-point tables (regression: stale caches broke
+    _fix_cell_orientations)."""
+    import numpy as np
+
+    from dealii_asm_tpu.mesh.unstructured import hyper_ball_balanced
+
+    mesh = hyper_ball_balanced(3)
+    sp1 = mesh.cell_mapping_points(2)
+    assert mesh.cell_mapping_points(2) is sp1  # memoized
+    nbr = mesh.face_neighbors()
+    assert mesh.face_neighbors() is nbr
+    mesh.invalidate_caches()
+    sp2 = mesh.cell_mapping_points(2)
+    assert sp2 is not sp1
+    np.testing.assert_allclose(sp1, sp2)
