@@ -79,7 +79,16 @@ def _edge_vertices(dim: int) -> list[tuple[int, int, int]]:
 
 @dataclass
 class UnstructuredMesh:
-    """General quad/hex mesh; cells reference vertices in lexicographic order."""
+    """General quad/hex mesh; cells reference vertices in lexicographic order.
+
+    Mutation contract: all fields are public, but the mesh memoizes derived
+    topology/geometry tables (face tables, mapping points, harmonic extents).
+    Any in-place mutation of ``cells``/``vertices``/``chart*`` MUST call
+    ``invalidate_caches()`` afterwards (the two in-tree mutation sites —
+    cell flips in ``_fix_cell_orientations`` and chart attachment — do).
+    Cached arrays are returned read-only (``writeable=False``) so a caller
+    mutating a result in place fails loudly instead of poisoning the cache.
+    """
 
     dim: int
     vertices: np.ndarray               # (V, dim) float64
@@ -97,6 +106,7 @@ class UnstructuredMesh:
     chart_h: np.ndarray | None = None     # (C,) ref sub-box size (1/2^level)
 
     # -- topology ------------------------------------------------------------
+
 
     @property
     def n_cells_total(self) -> int:
@@ -144,6 +154,8 @@ class UnstructuredMesh:
         nbr[a], nbr[b] = b // F, a // F
         nface[a], nface[b] = b % F, a % F
         cached = (nbr.reshape(C, F), nface.reshape(C, F))
+        for arr in cached:
+            arr.flags.writeable = False
         self._face_tables_cache = cached
         return cached
 
@@ -370,6 +382,7 @@ class UnstructuredMesh:
             ids = np.repeat(cc, L)
             sp = self.chart.eval(ids, refs.reshape(C * L, dim)).reshape(
                 C, L, dim)
+            sp.flags.writeable = False
             cache[mapping_degree] = sp
             return sp
         # multilinear shape functions at unit points
@@ -382,6 +395,7 @@ class UnstructuredMesh:
 
         if self.project is not None:
             sp = self._project_boundary_lattices(sp, unit, mapping_degree)
+        sp.flags.writeable = False
         cache[mapping_degree] = sp
         return sp
 
@@ -478,6 +492,7 @@ class UnstructuredMesh:
             wf = _tensor_weights([w if i != d else np.array([1.0])
                                   for i in range(self.dim)])
             out[:, d] = dist @ wf
+        out.flags.writeable = False
         cache[n_q_1d] = out
         return out
 

@@ -541,17 +541,29 @@ class ASMPreconditioner:
         None where unsupported (CPU, small problems, non-element/ov1)."""
         if not hasattr(self, "_slab_kernel"):
             self._slab_kernel = None
-            try:
-                import jax
+            import jax
 
-                if (jax.devices()[0].platform != "cpu"
-                        and np.dtype(self.dtype) == np.float32
-                        and self.dofs.n_dofs >= 100_000):
+            if (jax.devices()[0].platform != "cpu"
+                    and np.dtype(self.dtype) == np.float32
+                    and self.dofs.n_dofs >= 100_000):
+                try:
                     from ..ops.pallas.fdm_slab import FDMSlabKernel
 
                     self._slab_kernel = FDMSlabKernel(self)
-            except Exception:
-                self._slab_kernel = None
+                except ValueError:
+                    pass  # unsupported config: XLA path is the production path
+                except Exception as e:
+                    # eligible shape but the kernel failed to build: loud
+                    # fallback — benchmarks must not report XLA numbers as
+                    # kernel numbers (DEALII_ASM_TPU_REQUIRE_PALLAS=1 raises)
+                    import os
+                    import warnings
+
+                    msg = ("Pallas FDMSlabKernel failed on an eligible"
+                           f" configuration — XLA fallback: {e!r}")
+                    if os.environ.get("DEALII_ASM_TPU_REQUIRE_PALLAS") == "1":
+                        raise RuntimeError(msg) from e
+                    warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return self._slab_kernel
 
     def _vmult_impl(self, src):

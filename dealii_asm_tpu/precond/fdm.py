@@ -128,11 +128,17 @@ def fdm_1d_matrices_batched(
     internal_left: np.ndarray,    # (U,) bool: left neighbor exists
     internal_right: np.ndarray,   # (U,) bool
     n_q_1d: int | None = None,
+    bc: str = "dirichlet",
 ):
     """Vectorized ``fdm_1d_matrices`` over U keys → (M (U,m,m), K (U,m,m)).
 
-    Missing-neighbor sides get Dirichlet treatment (the only case the
-    smoothers use; pass through the scalar builder for Neumann)."""
+    Missing-neighbor sides get Dirichlet treatment — the only case this
+    builder implements; callers adding Neumann support must pass their bc
+    mode so the restriction fails here instead of silently producing
+    Dirichlet matrices (use the scalar ``fdm_1d_matrices`` for Neumann)."""
+    if bc != "dirichlet":
+        raise NotImplementedError(
+            f"fdm_1d_matrices_batched only supports bc='dirichlet', got {bc!r}")
     p = degree
     m = p - 1 + 2 * n_overlap
     M_ref, K_ref = reference_mass_stiffness_1d(degree, n_q_1d)
