@@ -114,6 +114,12 @@ def _kernel_bench():
 
 def _e2e_bench():
     """Full 17M-DoF solve through the driver path; returns (seconds, its)."""
+    import jax
+
+    # the protocol is a TRUE f64 outer Krylov over f32 MG levels (the
+    # reference's architecture); without x64 the outer silently truncates
+    # to f32 and costs an extra iteration
+    jax.config.update("jax_enable_x64", True)
     from dealii_asm_tpu.models.poisson import run_config
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -436,17 +436,30 @@ class SmootherStepKernel:
         n_cy = mesh.n_cells[1]
         nz, ny, nx = (dofs.nodes_per_dim[2], dofs.nodes_per_dim[1],
                       dofs.nodes_per_dim[0])
+        # ---- boundary trim ---------------------------------------------------
+        # The LAST node along each axis is Dirichlet-constrained (non-periodic
+        # box), so every folded table (free masks in M̂/K̂, masks+weights in
+        # G/Gᵀ) is structurally ZERO in that row/column: the kernel never
+        # reads it and writes x back unchanged.  Dropping it shrinks the
+        # working grid from (c·p+1)³ nodes to (c·p)³ — at Q4 64³ that takes
+        # the lane axis from 257→384 padded down to 256 exact, cutting the
+        # P-stage dot FLOPs 2.3× and the ACTUAL per-step DMA 1.55× (the
+        # padded (264, 384) blocks moved 1.62 MB/stream where the logical
+        # plane is 1.0 MB).  unpad restores the boundary values from the
+        # caller's x (out = x at constrained nodes).
+        nzt, nyt, nxt = nz - 1, ny - 1, nx - 1
+        assert nzt == n_win * p, (nzt, n_win, p)
         if fdm_y == "windowed":
             # y padded so plane rows reshape into (nyp/p, p) window slots and
             # the padded window count stays in range
             cyq = -(-n_cy // 8) * 8
             lcm = 8 * p // np.gcd(8, p)
-            nyp = -(-max(ny, cyq * p + p) // lcm) * lcm
+            nyp = -(-max(nyt, cyq * p + p) // lcm) * lcm
             self._n_wy = cyq
         else:
-            nyp = -(-ny // 8) * 8
+            nyp = -(-nyt // 8) * 8
             self._n_wy = 0
-        nxp = -(-nx // 128) * 128
+        nxp = -(-nxt // 128) * 128
 
         # ---- operator tables (free masks folded on both sides) -------------
         Mxg = np.asarray(op.M1d_global[0], np.float64)
@@ -462,26 +475,27 @@ class SmootherStepKernel:
             return f
 
         fx, fy, fz = free(nx), free(ny), free(nz)
-        Mxf = fx[:, None] * Mxg * fx[None, :]
-        Kxf = fx[:, None] * Kxg * fx[None, :]
-        Myf = fy[:, None] * Myg * fy[None, :]
-        Kyf = fy[:, None] * Kyg * fy[None, :]
+        # trimmed to the working grid: row/col nx−1 (ny−1) are zero anyway
+        Mxf = (fx[:, None] * Mxg * fx[None, :])[:nxt, :nxt]
+        Kxf = (fx[:, None] * Kxg * fx[None, :])[:nxt, :nxt]
+        Myf = (fy[:, None] * Myg * fy[None, :])[:nyt, :nyt]
+        Kyf = (fy[:, None] * Kyg * fy[None, :])[:nyt, :nyt]
 
         if x_apply == "dense":
             # x-apply runs as plane @ M̂ₓᵀ on the MXU (see _kernel): tables
             # are the dense transposed 1D matrices, zero-padded to lane tiles
             dmx = np.zeros((nxp, nxp), np.float32)
             dkx = np.zeros((nxp, nxp), np.float32)
-            dmx[:nx, :nx] = Mxf.T
-            dkx[:nx, :nx] = Kxf.T
+            dmx[:nxt, :nxt] = Mxf.T
+            dkx[:nxt, :nxt] = Kxf.T
         else:
             # x-direction banded tables: d[k][i] = M[i, i + k − p], padded
             dmx = np.zeros((n_diag, nxp), np.float32)
             dkx = np.zeros((n_diag, nxp), np.float32)
-            rows = np.arange(nx)
+            rows = np.arange(nxt)
             for k in range(n_diag):
                 cols = rows + k - p
-                okc = (cols >= 0) & (cols < nx)
+                okc = (cols >= 0) & (cols < nxt)
                 dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
                 dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
         if y_apply == "banded":
@@ -489,38 +503,39 @@ class SmootherStepKernel:
             # sublane rows and the y padding
             my_m = np.zeros((nyp, n_diag), np.float32)
             ky_m = np.zeros((nyp, n_diag), np.float32)
-            rows_y = np.arange(ny)
+            rows_y = np.arange(nyt)
             for k in range(n_diag):
                 cols = rows_y + k - p
-                okc = (cols >= 0) & (cols < ny)
+                okc = (cols >= 0) & (cols < nyt)
                 my_m[rows_y[okc], k] = Myf[rows_y[okc], cols[okc]]
                 ky_m[rows_y[okc], k] = Kyf[rows_y[okc], cols[okc]]
         else:
             # y-direction dense (padded)
             my_m = np.zeros((nyp, nyp), np.float32)
             ky_m = np.zeros((nyp, nyp), np.float32)
-            my_m[:ny, :ny] = Myf
-            ky_m[:ny, :ny] = Kyf
-        # z-row tables, fz folded both sides: (n_win+1, p, 3p)
+            my_m[:nyt, :nyt] = Myf
+            ky_m[:nyt, :nyt] = Kyf
+        # z-row tables, fz folded both sides: (n_win+1, p, 3p); rows/columns
+        # at the trimmed node nz−1 excluded (structurally zero: fz[nz−1]=0)
         kzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
         mzr = np.zeros((n_win + 1, p, 3 * p), np.float32)
         for w in range(n_win + 1):
             for t in range(p):
                 r_ = w * p + t
-                if r_ >= nz:
+                if r_ >= nzt:
                     continue
                 for j in range(3 * p):
                     c_ = w * p - p + j
-                    if 0 <= c_ < nz and abs(c_ - r_) <= p:
+                    if 0 <= c_ < nzt and abs(c_ - r_) <= p:
                         kzr[w, t, j] = Kzg[r_, c_]
                         mzr[w, t, j] = Mzg[r_, c_]
                 kzr[w, t] *= fz[r_]
                 mzr[w, t] *= fz[r_]
-        # input-side fz: columns c_ = 0 and nz−1
+        # input-side fz: column c_ = 0 (c_ = nz−1 is outside the trimmed grid)
         for w in range(n_win + 1):
             for j in range(3 * p):
                 c_ = w * p - p + j
-                if c_ == 0 or c_ == nz - 1:
+                if c_ == 0:
                     kzr[w, :, j] = 0.0
                     mzr[w, :, j] = 0.0
 
@@ -584,8 +599,9 @@ class SmootherStepKernel:
             lamy_rows[: len(ly)] = ly
             lamyx_t = jnp.asarray(lamy_rows[:, None] + lx[None, :])
         else:
-            gy_t = jnp.asarray(padc(Gy, nyp), tdt)
-            gyt_t = jnp.asarray(padr(Gyt, nyp), tdt)
+            # node axes trimmed to the working grid (last column/row zero)
+            gy_t = jnp.asarray(padc(Gy[:, :nyt], nyp), tdt)
+            gyt_t = jnp.asarray(padr(Gyt[:nyt], nyp), tdt)
             lamyx_t = jnp.asarray(ly[:, None] + lx[None, :])
         self.tables = (
             jnp.asarray(kid.astype(np.int32)), jnp.asarray(zid.astype(np.int32)),
@@ -595,27 +611,38 @@ class SmootherStepKernel:
             jnp.asarray(dmx), jnp.asarray(dkx),
             jnp.asarray(my_m), jnp.asarray(ky_m),
             gy_t, gyt_t,
-            jnp.asarray(padr(Gx.T, nxp), tdt),
-            jnp.asarray(padc(Gxt.T, nxp), tdt),
+            jnp.asarray(padr(Gx.T[:nxt], nxp), tdt),
+            jnp.asarray(padc(Gxt.T[:, :nxt], nxp), tdt),
             lamyx_t,
         )
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
                       int(x_apply == "dense"), int(y_apply == "banded"))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
+        self.trim_shape = (nzt, nyt, nxt)
         self.p = p
-        # x/b front-padded by 3 blocks + 3 tail blocks beyond the grid so all
+        # x/b front-padded by 3 blocks + 4 tail blocks beyond the grid so all
         # block index maps stay affine: total (n_win+7) blocks
-        self._pad = ((3 * p, (n_win + 7) * p - nz - 3 * p),
-                     (0, nyp - ny), (0, nxp - nx))
+        self._pad = ((3 * p, (n_win + 7) * p - nzt - 3 * p),
+                     (0, nyp - nyt), (0, nxp - nxt))
 
     def pad_grid(self, g):
-        """(nz, ny, nx) grid -> the kernel's padded layout."""
-        return jnp.pad(g.astype(jnp.float32), self._pad)
+        """(nz, ny, nx) grid -> the kernel's padded layout (boundary-trimmed:
+        the last node per axis is Dirichlet-constrained and dropped; unpad
+        restores it from the caller's x)."""
+        nzt, nyt, nxt = self.trim_shape
+        return jnp.pad(g[:nzt, :nyt, :nxt].astype(jnp.float32), self._pad)
 
-    def unpad_grid(self, gp):
-        nz, ny, nx = self.grid_shape
-        return gp[3 * self.p : 3 * self.p + nz, :ny, :nx]
+    def unpad_grid(self, gp, full_src=None):
+        """Padded layout -> (nz, ny, nx) grid.  The trimmed last plane/row/
+        column per axis is Dirichlet-constrained: the step leaves x unchanged
+        there, so it is restored from ``full_src`` (the pre-step x grid /
+        any grid holding the constrained values); zeros when omitted."""
+        nzt, nyt, nxt = self.trim_shape
+        inner = gp[3 * self.p : 3 * self.p + nzt, :nyt, :nxt]
+        if full_src is None:
+            full_src = jnp.zeros(self.grid_shape, gp.dtype)
+        return full_src.astype(gp.dtype).at[:nzt, :nyt, :nxt].set(inner)
 
     def step_padded(self, xp, bp, omega=1.0, interpret=False):
         """One step in the padded layout: in and out share the same shape,
@@ -628,7 +655,7 @@ class SmootherStepKernel:
     def step_grids(self, xg, bg, omega=1.0, interpret=False):
         out = self.step_padded(self.pad_grid(xg), self.pad_grid(bg), omega,
                                interpret)
-        return self.unpad_grid(out)
+        return self.unpad_grid(out, full_src=xg)
 
     def step(self, x_flat, b_flat, omega=1.0, interpret=False):
         nz, ny, nx = self.grid_shape
