@@ -76,9 +76,222 @@ def _face_maps(mesh):
     return maps
 
 
+def _face_map_arrays(mesh):
+    """Vectorized twin of _face_maps: dense arrays over all (cell, face).
+
+    Returns (nall, Aall, ball): neighbor id (C, F; -1 at boundary), the
+    signed-permutation matrix (C, F, dim, dim) and offset (C, F, dim) of
+    x_nbr = A @ x_c + b.  One pass of fancy indexing per face instead of a
+    C·F Python loop (the 131k-cell ball L=5 setup wall)."""
+    dim = mesh.dim
+    fv = _face_vertices(dim)
+    vc = _VERTEX_COORDS[dim]
+    nbr = np.asarray(mesh.face_neighbors())
+    nfc = np.asarray(mesh.face_neighbor_faces())
+    C, F = nbr.shape
+    Aall = np.zeros((C, F, dim, dim), dtype=np.int64)
+    ball = np.zeros((C, F, dim), dtype=np.int64)
+    for f in range(F):
+        sel = np.where(nbr[:, f] >= 0)[0]
+        if sel.size == 0:
+            continue
+        n = nbr[sel, f]
+        gf = nfc[sel, f]
+        d, s = f // 2, f % 2
+        fvf = fv[f]
+        g = mesh.cells[sel][:, fvf]                      # (Cf, 2^(dim-1))
+        # local index in the neighbor of each shared vertex
+        loc = np.argmax(mesh.cells[n][:, None, :] == g[:, :, None], axis=2)
+        x0 = vc[fvf[0]].astype(np.int64)
+        y0 = vc[loc[:, 0]].astype(np.int64)              # (Cf, dim)
+        A = np.zeros((sel.size, dim, dim), dtype=np.int64)
+        for a in range(dim):
+            if a == d:
+                continue
+            target = x0.copy()
+            target[a] = 1 - target[a]
+            j = next(j for j in range(len(fvf))
+                     if (vc[fvf[j]] == target).all())
+            A[:, :, a] = (vc[loc[:, j]].astype(np.int64) - y0) * (
+                1 - 2 * int(x0[a]))
+        A[np.arange(sel.size), gf // 2, d] = (
+            (1 - 2 * (gf % 2)) * (1 - 2 * s) * -1)
+        ball[sel, f] = y0 - np.einsum("cij,j->ci", A, x0)
+        Aall[sel, f] = A
+    return nbr, Aall, ball
+
+
 def general_element_patch_indices(dofs: GeneralDofHandler,
                                   n_overlap: int) -> np.ndarray:
-    """(C, m^dim) overlap-patch DoF tables on an unstructured mesh."""
+    """(C, m^dim) overlap-patch DoF tables on an unstructured mesh.
+
+    Vectorized over cells: patch slots are grouped by their 3^dim cell-offset
+    pattern; for each pattern the face-map walk (axis by axis, composing the
+    affine lattice maps) runs as batched 3×3 integer matmuls over ALL cells at
+    once, then every slot of the group resolves node = A·coords + p·b exactly
+    (A is a signed permutation, b integer — no float round-trip needed).
+    Replaces the per-cell × per-slot Python loop (O(C·m^dim) interpreter
+    iterations — ~45M at the ball L=5, ov-2, the round-2 host-setup wall)."""
+    mesh = dofs.mesh
+    dim = mesh.dim
+    p = dofs.degree
+    o = n_overlap
+    m = p - 1 + 2 * o
+    C = mesh.n_cells_total
+    n = dofs.n_dofs
+    cd = np.asarray(dofs.cell_dofs, dtype=np.int64)
+    n1 = p + 1
+    stride = np.array([n1**d for d in range(dim)], dtype=np.int64)
+    nall, Aall, ball = _face_map_arrays(mesh)
+
+    lat = np.stack([np.arange(m**dim) // m**d % m for d in range(dim)],
+                   axis=1) - (o - 1)  # (L, dim) in [-(o-1), p+o-1]
+    off = np.where(lat < 0, -1, np.where(lat > p, 1, 0))  # (L, dim)
+
+    out = _walk_patch_indices(dofs, nall, Aall, ball,
+                              np.arange(C, dtype=np.int64), lat, off)
+    mask = dofs.boundary_mask
+    out = np.where((out < n) & ~mask[np.clip(out, 0, n - 1)], out, n)
+    return out.astype(np.int32)
+
+
+def _walk_patch_indices(dofs, nall, Aall, ball, anchors, lat, off):
+    """Resolve patch DoF tables by composed face-map walks, vectorized over
+    patches.
+
+    anchors: (P,) anchor cell per patch; lat: (L, dim) slot lattice coords in
+    the anchor frame (node units, entries may lie outside [0, p]); off:
+    (L, dim) per-axis cell offsets (-1/0/+1).  Returns (P, L) int64 DoF ids
+    (pad n_dofs where a walk leaves the mesh)."""
+    mesh = dofs.mesh
+    dim = mesh.dim
+    p = dofs.degree
+    n = dofs.n_dofs
+    cd = np.asarray(dofs.cell_dofs, dtype=np.int64)
+    stride = np.array([(p + 1)**d for d in range(dim)], dtype=np.int64)
+    P = len(anchors)
+    L = lat.shape[0]
+    out = np.full((P, L), n, dtype=np.int64)
+    rows = np.arange(P)
+    pats, inv = np.unique(off, axis=0, return_inverse=True)
+    for pi, pat in enumerate(pats):
+        slots = np.where(inv == pi)[0]
+        if (pat == 0).all():
+            flat = (lat[slots] * stride).sum(axis=1)
+            out[:, slots] = cd[anchors[:, None], flat[None, :]]
+            continue
+        # walk face maps axis by axis (same order as the scalar path),
+        # composing (A, b) for all patches simultaneously
+        cur = anchors.copy()
+        A = np.broadcast_to(np.eye(dim, dtype=np.int64),
+                            (P, dim, dim)).copy()
+        b = np.zeros((P, dim), dtype=np.int64)
+        ok = np.ones(P, dtype=bool)
+        for d2 in range(dim):
+            if pat[d2] == 0:
+                continue
+            e = A[:, :, d2]
+            axis = np.argmax(np.abs(e), axis=1)
+            sign = e[rows, axis] * pat[d2]
+            face = 2 * axis + (sign > 0)
+            nxt = nall[cur, face]
+            step_ok = ok & (nxt >= 0)
+            A2 = Aall[cur, face]
+            b2 = ball[cur, face]
+            A = np.where(step_ok[:, None, None], A2 @ A, A)
+            b = np.where(step_ok[:, None],
+                         np.einsum("cij,cj->ci", A2, b) + b2, b)
+            cur = np.where(step_ok, nxt, cur)
+            ok = step_ok
+        # all slots of the group share (cur, A, b): node = A·coords + p·b
+        node = (np.einsum("cij,lj->cli", A, lat[slots])
+                + p * b[:, None, :])                      # (P, Lg, dim)
+        valid = (ok[:, None] & (node >= 0).all(axis=2)
+                 & (node <= p).all(axis=2))
+        flat = np.clip((node * stride).sum(axis=2), 0, cd.shape[1] - 1)
+        out[:, slots] = np.where(valid, cd[cur[:, None], flat], n)
+    return out
+
+
+def general_vertex_patch_indices(dofs: GeneralDofHandler):
+    """Vertex-star patches on an unstructured mesh.
+
+    One patch per interior vertex: the (2p-1)^dim interior nodes of the
+    2^dim surrounding cells (reference get_dof_indices_vertex_patch,
+    /root/reference/include/dof_tools.h:206-300), resolved in the ANCHOR
+    cell's frame (anchor = lowest-id adjacent cell) through the same composed
+    face-map walks as the overlap patches — each axis crosses at most one
+    face (|t| <= p-1 < p).
+
+    Returns (idx (P, (2p-1)^dim) int32 with pad = n_dofs,
+             extents (P, dim, 2) per anchor-frame axis: width of the t<0 cell
+             and of the t>0 cell — the vertex_patch_1d_matrices operands)."""
+    mesh = dofs.mesh
+    dim = mesh.dim
+    p = dofs.degree
+    C = mesh.n_cells_total
+    n = dofs.n_dofs
+    m = 2 * p - 1
+    nall, Aall, ball = _face_map_arrays(mesh)
+    vc = _VERTEX_COORDS[dim]
+
+    # anchor: lowest adjacent cell id per interior vertex, + its local corner
+    bnd = mesh.boundary_vertex_mask()
+    anchor = np.full(mesh.n_vertices, C, dtype=np.int64)
+    np.minimum.at(anchor, mesh.cells.reshape(-1),
+                  np.repeat(np.arange(C), 2**dim))
+    vids = np.where(~bnd & (anchor < C))[0]
+    corner = np.argmax(mesh.cells[anchor[vids]] == vids[:, None], axis=1)
+    anchors_all = anchor[vids]
+
+    # per-cell harmonic widths along each local axis (center extent)
+    ext_c = np.asarray(mesh.harmonic_patch_extents(p + 1))[:, :, 1]  # (C, dim)
+
+    t = np.arange(m) - (p - 1)  # [-(p-1), p-1]
+    lat_t = np.stack([np.tile(np.repeat(t, m**d), m**(dim - 1 - d))
+                      for d in range(dim)], axis=1)  # (L, dim), x fastest
+
+    P = len(vids)
+    idx = np.full((P, m**dim), n, dtype=np.int64)
+    extents = np.zeros((P, dim, 2))
+    for q in range(2**dim):
+        sel = np.where(corner == q)[0]
+        if sel.size == 0:
+            continue
+        qv = vc[q].astype(np.int64)  # corner coords in the anchor frame
+        lat = lat_t + p * qv[None, :]
+        off = np.where(lat < 0, -1, np.where(lat > p, 1, 0))
+        anchors = anchors_all[sel]
+        idx[sel] = _walk_patch_indices(dofs, nall, Aall, ball, anchors,
+                                       lat, off)
+        # extents: per axis d the two cell widths around the vertex.  The
+        # side WITHIN the anchor contributes the anchor's own width; the
+        # other side is the neighbor across face 2d+q[d], measured along the
+        # image |A e_d| of the axis in the neighbor's frame.
+        for d in range(dim):
+            face = 2 * d + int(qv[d])
+            nbr = nall[anchors, face]
+            e = Aall[anchors, face][:, :, d]
+            ax_n = np.argmax(np.abs(e), axis=1)
+            h_own = ext_c[anchors, d]
+            h_nbr = np.where(nbr >= 0,
+                             ext_c[np.clip(nbr, 0, C - 1), ax_n], h_own)
+            # q[d]=1: t<0 inside the anchor, t>0 in the neighbor; q[d]=0 flips
+            if qv[d] == 1:
+                extents[sel, d, 0] = h_own
+                extents[sel, d, 1] = h_nbr
+            else:
+                extents[sel, d, 0] = h_nbr
+                extents[sel, d, 1] = h_own
+    mask = dofs.boundary_mask
+    idx = np.where((idx < n) & ~mask[np.clip(idx, 0, n - 1)], idx, n)
+    return idx.astype(np.int32), extents
+
+
+def general_element_patch_indices_scalar(dofs: GeneralDofHandler,
+                                         n_overlap: int) -> np.ndarray:
+    """Scalar reference twin of general_element_patch_indices (regression
+    oracle; O(C·m^dim) Python — do not use in production setup)."""
     mesh = dofs.mesh
     dim = mesh.dim
     p = dofs.degree

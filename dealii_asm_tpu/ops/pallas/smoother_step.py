@@ -143,7 +143,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             p1r, p2r, azr, carry, xr,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False,
-            prec_a: str = "highest", prec_f: str = "highest"):
+            prec_a: str = "highest", prec_f: str = "highest",
+            stages: str = "PAF"):
+    # `stages` is a PROFILING knob (subset of "PAF"): dropping a letter skips
+    # that stage's body so on-chip timing isolates per-stage cost.  Production
+    # callers always use the default.
     # n_wy > 0 selects the windowed-VPU y-transform: gy_ref/gyt_ref then hold
     # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
     # the y transforms run as per-window vector broadcasts on reshaped plane
@@ -162,7 +166,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         carry[...] = jnp.zeros_like(carry)
 
     # ---- P-stage: planes p·i .. p·i+p−1 ------------------------------------
-    @pl.when(i <= n_win)
+    @pl.when((i <= n_win) & ("P" in stages))
     def _():
         slot = i % 4
         for t in range(p):
@@ -195,7 +199,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                     + _dot(my_ref[:], kx, prec_a))
 
     # ---- A-stage: residual rows p·(i−2) .. p·(i−2)+p−1 ---------------------
-    @pl.when((i >= 2) & (i <= n_win + 2))
+    @pl.when((i >= 2) & (i <= n_win + 2) & ("A" in stages))
     def _():
         w2 = i - 2
         ku = kid_ref[w2]
@@ -215,7 +219,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             azr[aslot, t] = b_ref[t] - acc
 
     # ---- F-stage: FDM + update on z-window w = i−3 -------------------------
-    @pl.when((i >= 3) & (i <= n_win + 2))
+    @pl.when((i >= 3) & (i <= n_win + 2) & ("F" in stages))
     def _():
         w = i - 3
         wz = zid_ref[w]
@@ -342,15 +346,16 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             out_ref[s] = jnp.zeros_like(out_ref[s])
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "prec", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("shape", "prec", "interpret", "stages"))
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
-          interpret=False):
+          interpret=False, stages="PAF"):
     ny, nx, m, p, n_win, n_wy, x_dense, y_banded = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
-                             prec_a=prec[0], prec_f=prec[1])
+                             prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -644,13 +649,13 @@ class SmootherStepKernel:
             full_src = jnp.zeros(self.grid_shape, gp.dtype)
         return full_src.astype(gp.dtype).at[:nzt, :nyt, :nxt].set(inner)
 
-    def step_padded(self, xp, bp, omega=1.0, interpret=False):
+    def step_padded(self, xp, bp, omega=1.0, interpret=False, stages="PAF"):
         """One step in the padded layout: in and out share the same shape,
         so consecutive steps (and level ops that accept the padded grid)
         chain with zero pad/slice traffic."""
         om = jnp.full((1, 1), omega, jnp.float32)
         return _call(xp, bp, om, self.tables, self.shape,
-                     prec=self.precisions, interpret=interpret)
+                     prec=self.precisions, interpret=interpret, stages=stages)
 
     def step_grids(self, xg, bg, omega=1.0, interpret=False):
         out = self.step_padded(self.pad_grid(xg), self.pad_grid(bg), omega,

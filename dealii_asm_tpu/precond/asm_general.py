@@ -8,9 +8,10 @@ orientation-baked ``cell_dofs``; local solves are batched FDM inverses built
 from harmonic patch extents exactly as on structured meshes
 (/root/reference/include/matrix_free.h:350-392).
 
-Larger overlaps/vertex patches on unstructured meshes require cross-cell index
-splicing with rotated local frames; they are intentionally staged after the
-structured fast paths (the reference's ball benchmarks run overlap 1).
+Vertex-star patches anchor the (2p-1)^dim patch at an interior vertex and
+resolve it through the same rotated-frame face-map composition
+(fem/general_patches.general_vertex_patch_indices; reference
+get_dof_indices_vertex_patch, dof_tools.h:206-300).
 """
 
 from __future__ import annotations
@@ -22,52 +23,75 @@ import numpy as np
 from ..fem.general_dofs import GeneralDofHandler
 from .asm import (_batched_apply, _dedup_collection, build_lanes_tables,
                   fdm_apply_lanes)
-from .fdm import fdm_1d_matrices, fdm_1d_matrices_batched
+from .fdm import (fdm_1d_matrices, fdm_1d_matrices_batched,
+                  vertex_patch_1d_matrices, vertex_patch_1d_matrices_batched)
 
 
 class GeneralASMPreconditioner:
-    """Element-centric overlap-1 additive Schwarz with FDM local solves."""
+    """Element-centric / vertex-star additive Schwarz with FDM local solves."""
 
     def __init__(self, dofs: GeneralDofHandler, n_overlap: int = 1,
                  weighting_type: str = "post", dtype=jnp.float64,
-                 n_q_1d: int | None = None):
+                 n_q_1d: int | None = None, patch_type: str = "element"):
         if weighting_type not in ("none", "pre", "post", "symm", "ras"):
             raise ValueError(weighting_type)
+        if patch_type not in ("element", "vertex"):
+            raise ValueError(patch_type)
         self.dofs = dofs
         mesh = dofs.mesh
         self.dim = mesh.dim
         self.degree = p = dofs.degree
         n_overlap = min(n_overlap, p)
         self.n_overlap = n_overlap
-        self.m = p - 1 + 2 * n_overlap
+        self.patch_type = patch_type
+        self.m = (2 * p - 1) if patch_type == "vertex" \
+            else p - 1 + 2 * n_overlap
         self.weighting_type = weighting_type
         self.dtype = dtype
-
-        extents = mesh.harmonic_patch_extents(n_q_1d or (p + 1))  # (C, dim, 3)
-        nbr = mesh.face_neighbors()  # (C, 2*dim): face 2d+s
-        has_l = (nbr[:, 0::2] >= 0).astype(np.float64)  # (C, dim)
-        has_r = (nbr[:, 1::2] >= 0).astype(np.float64)
-
-        def build(d, key):
-            h_l, h_c, h_r, hl_flag, hr_flag = key
-            bc_l = "internal" if hl_flag else "dirichlet"
-            bc_r = "internal" if hr_flag else "dirichlet"
-            return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r), bc_l, bc_r,
-                                   n_q_1d)
-
-        def build_batched(d, uniq):
-            return fdm_1d_matrices_batched(
-                p, n_overlap, uniq[:, 0:3],
-                uniq[:, 3] > 0.5, uniq[:, 4] > 0.5, n_q_1d)
-
-        keys = np.concatenate(
-            [np.round(extents, 12), has_l[:, :, None], has_r[:, :, None]],
-            axis=2)  # (C, dim, 5)
-        self.collection = _dedup_collection(keys, build, build_batched)
-
         n = dofs.n_dofs
         mask = dofs.boundary_mask
-        if n_overlap == 1:
+
+        if patch_type == "vertex":
+            from ..fem.general_patches import general_vertex_patch_indices
+
+            idx, vext = general_vertex_patch_indices(dofs)
+            idx = idx.astype(np.int64)
+
+            def build(d, key):
+                return vertex_patch_1d_matrices(p, key, n_q_1d)
+
+            def build_batched(d, uniq):
+                return vertex_patch_1d_matrices_batched(p, uniq, n_q_1d)
+
+            keys = np.round(vext, 12)  # (P, dim, 2)
+            self.collection = _dedup_collection(keys, build, build_batched)
+        else:
+            extents = mesh.harmonic_patch_extents(
+                n_q_1d or (p + 1))  # (C, dim, 3)
+            nbr = mesh.face_neighbors()  # (C, 2*dim): face 2d+s
+            has_l = (nbr[:, 0::2] >= 0).astype(np.float64)  # (C, dim)
+            has_r = (nbr[:, 1::2] >= 0).astype(np.float64)
+
+            def build(d, key):
+                h_l, h_c, h_r, hl_flag, hr_flag = key
+                bc_l = "internal" if hl_flag else "dirichlet"
+                bc_r = "internal" if hr_flag else "dirichlet"
+                return fdm_1d_matrices(p, n_overlap, (h_l, h_c, h_r),
+                                       bc_l, bc_r, n_q_1d)
+
+            def build_batched(d, uniq):
+                return fdm_1d_matrices_batched(
+                    p, n_overlap, uniq[:, 0:3],
+                    uniq[:, 3] > 0.5, uniq[:, 4] > 0.5, n_q_1d)
+
+            keys = np.concatenate(
+                [np.round(extents, 12), has_l[:, :, None], has_r[:, :, None]],
+                axis=2)  # (C, dim, 5)
+            self.collection = _dedup_collection(keys, build, build_batched)
+
+        if patch_type == "vertex":
+            pass  # idx built above
+        elif n_overlap == 1:
             # overlap-1 element patch == the cell lattice itself
             idx = dofs.cell_dofs.astype(np.int64)
             idx = np.where(mask[idx], n, idx)

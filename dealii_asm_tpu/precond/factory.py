@@ -233,6 +233,7 @@ def _create_fdm(op, params: dict, log):
 
         p = GeneralASMPreconditioner(
             op.dofs, n_overlap=n_overlap, weighting_type=weighting,
+            patch_type="element" if element_centric else "vertex",
             dtype=op.dtype)
     else:
         p = ASMPreconditioner(

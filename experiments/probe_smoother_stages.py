@@ -1,0 +1,57 @@
+"""On-chip stage split of the fused smoother-step kernel (post-trim).
+
+Compiles the production Q4 17M-DoF kernel with stage subsets disabled and
+times chained padded steps, isolating skeleton/DMA vs P/A/F stage cost."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dealii_asm_tpu.mesh.grid import StructuredMesh
+    from dealii_asm_tpu.fem.dofs import DofHandler
+    from dealii_asm_tpu.ops.laplace import LaplaceOperator
+    from dealii_asm_tpu.precond.asm import ASMPreconditioner
+    from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+
+    p, c = 4, 64
+    mesh = StructuredMesh(dim=3, n_cells=(c, c, c))
+    dofs = DofHandler(mesh, p)
+    op = LaplaceOperator(dofs, dtype=jnp.float32)
+    asm = ASMPreconditioner(op, n_overlap=1, weighting="symm")
+    kern = SmootherStepKernel(op, asm)
+    n = dofs.n_dofs
+    print("n_dofs", n)
+
+    key = jax.random.PRNGKey(0)
+    xg = jax.random.normal(key, kern.grid_shape, jnp.float32)
+    xp = kern.pad_grid(xg)
+    bp = kern.pad_grid(xg * 0.5)
+
+    REP = 30
+    for stages in ["", "P", "A", "F", "PA", "PAF"]:
+        @jax.jit
+        def chain(xp, bp, s=stages):
+            def body(x, _):
+                return kern.step_padded(x, bp, 0.9, stages=s), None
+            out, _ = jax.lax.scan(body, xp, None, length=REP)
+            return out
+
+        out = chain(xp, bp).block_until_ready()
+        t0 = time.perf_counter()
+        out = chain(xp, bp).block_until_ready()
+        dt = (time.perf_counter() - t0) / REP
+        gdofs = n / dt / 1e9
+        print(f"stages={stages or '(skeleton)':9s} {dt*1e3:8.3f} ms/step "
+              f"{gdofs:7.3f} GDoF/s  per-gridstep {dt/ (c+4) * 1e6:6.2f} us")
+
+
+if __name__ == "__main__":
+    main()

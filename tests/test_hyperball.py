@@ -376,3 +376,84 @@ class TestGeneralOperatorLanes:
         br = np.asarray(oracle.assemble_rhs(f, dirichlet=gfun))
         np.testing.assert_allclose(bg, br, rtol=0,
                                    atol=1e-12 * np.abs(br).max())
+
+
+class TestVectorizedPatchIndices:
+    """Batched general_element_patch_indices vs the scalar oracle."""
+
+    @pytest.mark.parametrize("dim,nref,p,ov", [
+        (2, 1, 3, 1), (2, 1, 3, 2), (3, 0, 2, 1), (3, 0, 4, 2), (3, 1, 3, 2),
+    ])
+    def test_matches_scalar_ball(self, dim, nref, p, ov):
+        from dealii_asm_tpu.fem.general_patches import (
+            general_element_patch_indices,
+            general_element_patch_indices_scalar,
+        )
+
+        mesh = hyper_ball_balanced(dim).refine_global(nref)
+        dh = GeneralDofHandler(mesh, p)
+        got = general_element_patch_indices(dh, ov)
+        ref = general_element_patch_indices_scalar(dh, ov)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_matches_scalar_box(self):
+        from dealii_asm_tpu.fem.general_patches import (
+            general_element_patch_indices,
+            general_element_patch_indices_scalar,
+        )
+
+        dh = GeneralDofHandler(box_mesh(3, 3), 3)
+        np.testing.assert_array_equal(
+            general_element_patch_indices(dh, 2),
+            general_element_patch_indices_scalar(dh, 2))
+
+
+class TestGeneralVertexPatches:
+    """Vertex-star patches on unstructured meshes (data.pdf Tables 15/16
+    `cg-fdm symm v` rows; reference dof_tools.h:206-300)."""
+
+    @pytest.mark.parametrize("dim,p", [(2, 3), (3, 2), (3, 4)])
+    def test_box_matches_structured(self, dim, p):
+        """On a box the general vertex ASM equals the structured one."""
+        from dealii_asm_tpu.fem.dofs import DofHandler
+        from dealii_asm_tpu.mesh.grid import StructuredMesh
+        from dealii_asm_tpu.precond.asm import ASMPreconditioner
+
+        nc = 3
+        smesh = StructuredMesh(dim=dim, n_cells=(nc,) * dim)
+        sdofs = DofHandler(smesh, p)
+        sasm = ASMPreconditioner(sdofs, patch_type="vertex",
+                                 weighting_type="symm", dtype=jnp.float64)
+
+        gmesh = box_mesh(dim, nc)
+        gdofs = GeneralDofHandler(gmesh, p)
+        gasm = GeneralASMPreconditioner(gdofs, patch_type="vertex",
+                                        weighting_type="symm",
+                                        dtype=jnp.float64)
+        # map: general DoF points -> structured lexicographic ids
+        N = sdofs.nodes_per_dim
+        pts = np.asarray(gdofs.points)
+        coord = np.round(pts * (np.asarray(N) - 1)).astype(np.int64)
+        gid = sum(coord[:, d] * int(np.prod(N[:d])) for d in range(dim))
+        rng = np.random.default_rng(3)
+        xs = rng.standard_normal(sdofs.n_dofs)
+        xg = xs[gid]
+        ys = np.asarray(sasm.vmult(jnp.asarray(xs)))
+        yg = np.asarray(gasm.vmult(jnp.asarray(xg)))
+        np.testing.assert_allclose(yg, ys[gid], rtol=1e-9, atol=1e-10)
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_ball_vertex_converges(self, dim):
+        from dealii_asm_tpu.solvers.krylov import solve as ksolve
+
+        mesh = hyper_ball_balanced(dim).refine_global(3 - dim + 1)
+        dh = GeneralDofHandler(mesh, 3)
+        op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+        b = op.assemble_rhs(lambda x: np.ones(x.shape[0]))
+        asm = GeneralASMPreconditioner(dh, patch_type="vertex",
+                                       weighting_type="symm",
+                                       dtype=jnp.float64)
+        r = ksolve("CG", op.vmult, b, M=asm.vmult, max_iterations=300,
+                   rel_tolerance=1e-6)
+        assert r.converged
+        assert r.n_iterations < 60
