@@ -52,11 +52,35 @@ def parse_fdm_label(props, offset):
     return cfg
 
 
-def build_from_label(label: str, op, dofs, dtype):
+def build_from_label(label: str, op, dofs, dtype, jmesh=None):
+    """Build the timed apply for one label.
+
+    Returns (fn, factor, pad, unpad, n_ghost): with a device mesh the apply is
+    the explicit-halo sharded twin (parallel/halo.py) over padded vectors, and
+    n_ghost is the per-rank ghost-layer size actually exchanged per apply
+    (2·hw·Ny·Nx — the analog of the reference's partitioner ghost/import
+    columns, matrix_free_loop_08.likwid.cc:390-395)."""
+    import jax.numpy as jnp
+
     props = label.split("-")
     t = props[0]
     factor = 1
+    ident = (lambda v: v)
+
+    def _sharded(asm):
+        from ..parallel.halo import ShardedLattice
+
+        sl = ShardedLattice(op, asm, jmesh)
+        plane = int(np.prod(sl.grid_shape_pad[1:]))
+        return sl, plane
+
     if t == "vmult":
+        if jmesh is not None:
+            sl, plane = _sharded(None)
+            import jax as _jax
+
+            return (_jax.jit(sl.vmult_traceable), 1, sl.pad, sl.unpad,
+                    2 * max(sl._hw_Mz, sl._hw_Kz) * plane)
         fn = op.vmult
     elif t == "cheby":
         degree = int(props[1])
@@ -64,13 +88,31 @@ def build_from_label(label: str, op, dofs, dtype):
         if props[3] == "diag":
             inner = DiagonalPreconditioner(op)
             sym = True
+            asm = None
         else:
             cfg = parse_fdm_label(props, 3)
-            inner = ASMPreconditioner(
+            asm = ASMPreconditioner(
                 dofs, n_overlap=cfg["n_overlap"],
                 weighting_type=cfg["weighting_type"],
                 patch_type=cfg["patch_type"], dtype=dtype)
+            inner = asm
             sym = cfg["weighting_type"] in ("none", "symm")
+        if jmesh is not None:
+            import jax as _jax
+
+            sl, plane = _sharded(asm)
+            if asm is None:
+                dinv = sl.pad(jnp.asarray(inner.inv_diag, sl.dtype))
+                M = lambda r: r * dinv
+                ghost = 2 * max(sl._hw_Mz, sl._hw_Kz) * plane
+            else:
+                M = sl.smoother_traceable
+                ghost = 2 * max(sl._hw_Mz, sl._hw_Kz, sl._hw_Gz,
+                                sl._hw_Gzt) * plane
+            cheb = ChebyshevPreconditioner(
+                sl.vmult_traceable, M, sl.n_padded, degree=degree,
+                ev_algorithm="lanczos" if sym else "power iteration")
+            return _jax.jit(cheb.vmult), factor, sl.pad, sl.unpad, ghost
         ev = estimate_eigenvalues(
             op.vmult, dofs.n_dofs, M=inner.vmult,
             constrained_mask=dofs.boundary_mask,
@@ -84,8 +126,14 @@ def build_from_label(label: str, op, dofs, dtype):
             dofs, n_overlap=cfg["n_overlap"],
             weighting_type=cfg["weighting_type"],
             patch_type=cfg["patch_type"], dtype=dtype)
+        if jmesh is not None and asm.global_fdm is not None:
+            import jax as _jax
+
+            sl, plane = _sharded(asm)
+            return (_jax.jit(sl.smoother_traceable), 1, sl.pad, sl.unpad,
+                    2 * max(sl._hw_Gz, sl._hw_Gzt) * plane)
         fn = asm.vmult
-    return fn, factor
+    return fn, factor, ident, ident, 0
 
 
 def run_benchmark(params: dict, out=sys.stdout):
@@ -110,10 +158,21 @@ def run_benchmark(params: dict, out=sys.stdout):
     op = LaplaceOperator(dofs, dtype=dtype)
 
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
+    src0 = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
+
+    n_dev_param = get_param(params, "n devices", 1)
+    n_devices = (len(jax.devices()) if n_dev_param == "auto"
+                 else int(n_dev_param))
+    jmesh = None
+    if n_devices > 1:
+        from ..parallel.sharding import make_mesh
+
+        jmesh = make_mesh(n_devices)
 
     for label in labels:
-        fn, factor = build_from_label(label, op, dofs, dtype)
+        fn, factor, pad, unpad, n_ghost = build_from_label(
+            label, op, dofs, dtype, jmesh)
+        src = pad(src0)
         # warm up (compile)
         y = fn(src)
         for _ in range(min(n_rep, 3)):
@@ -126,7 +185,8 @@ def run_benchmark(params: dict, out=sys.stdout):
         _ = float(jnp.asarray(y).ravel()[0])  # force execution of the chain
         dt = time.perf_counter() - t0
         print(f">> {label} {dofs.n_dofs} {n_rep * factor} {dt:.6g} "
-              f"{jnp.dtype(dtype).itemsize} {degree} 0 0", file=out, flush=True)
+              f"{jnp.dtype(dtype).itemsize} {degree} {n_ghost} {n_ghost}",
+              file=out, flush=True)
     return dofs.n_dofs
 
 

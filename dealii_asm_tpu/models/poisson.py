@@ -163,9 +163,11 @@ def make_mesh_family(params: dict, log=lambda *_: None) -> MeshFamily:
     raise ValueError(f"Geometry with the name <{name}> is not known!")
 
 
-def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
-                     fine_op: LaplaceOperator, log, dtype) -> Multigrid:
-    precon_p = params
+def mg_level_layout(precon_p: dict, family, fe_degree: int,
+                    log=lambda *_: None):
+    """The reference's MG level layout: (refinement, degree) per level plus
+    the intermediate-split index
+    (/root/reference/element_centered_preconditioners_01.cc:508-749)."""
     mg_type = get_param(precon_p, "mg type", "h")
     mg_p_seq = get_param(precon_p, "mg p sequence", "bisect")
     log(f" - type:       {mg_type}")
@@ -201,6 +203,13 @@ def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
         if levels[i][1] == 1:
             intermediate = i
             break
+    return levels, intermediate
+
+
+def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
+                     fine_op: LaplaceOperator, log, dtype) -> Multigrid:
+    precon_p = params
+    levels, intermediate = mg_level_layout(precon_p, family, fe_degree, log)
 
     # build level operators
     # sub-f64 level arithmetic runs true-f32 dots: the TPU's default
@@ -279,6 +288,27 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     ptype = precon_p.get("type", "")
     mg_inner = None  # un-adapted float-level MG (mixed-precision fast path)
     level_dtype = dtype
+    # multi-device: "n devices" = int or "auto" (all visible devices) — the
+    # reference driver is MPI-parallel end to end (mpirun -np 40,
+    # experiments/README.MD); >1 routes the whole solve through the
+    # explicit-halo sharded path (parallel/driver.py)
+    n_dev_param = get_param(params, "n devices", 1)
+    if n_dev_param == "auto":
+        import jax as _jax
+
+        n_devices = len(_jax.devices())
+    else:
+        n_devices = int(n_dev_param)
+    sharded = None
+    if n_devices > 1:
+        if isinstance(family, GeneralMeshFamily):
+            raise ValueError(
+                "'n devices' > 1 requires a structured mesh family (the "
+                "unstructured gather paths shard via XLA SPMD instead — see "
+                "tests/test_sharding.py::test_unstructured_ball_sharded)")
+        if ptype != "Multigrid":
+            raise ValueError("'n devices' > 1 supports Multigrid "
+                             "preconditioners")
     if ptype == "Multigrid":
         log("- Create system preconditioner: Multigrid")
         # mixed precision: the reference hard-codes float MG levels under a
@@ -292,14 +322,29 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         level_dtype = {"": dtype, "float64": _jnp.float64,
                        "float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
             get_param(params, "mg number type", default_lt)]
-        precon = _build_multigrid(precon_p, family, fe_degree, op, log,
-                                  level_dtype)
-        if level_dtype != dtype:
-            from ..precond.adapter import PrecisionAdapter
+        if n_devices > 1:
+            from ..parallel.driver import build_sharded_multigrid
 
-            mg_inner = precon
-            precon = PrecisionAdapter(mg_inner, level_dtype)
-            precon.timer = mg_inner.timer
+            log(f" - n devices:  {n_devices} (explicit-halo sharding)")
+            sharded = build_sharded_multigrid(
+                precon_p, family, fe_degree, log, level_dtype, dtype,
+                n_devices)
+            precon = sharded.mg
+            if level_dtype != dtype:
+                from ..precond.adapter import PrecisionAdapter
+
+                mg_inner = precon
+                precon = PrecisionAdapter(mg_inner, level_dtype)
+                precon.timer = mg_inner.timer
+        else:
+            precon = _build_multigrid(precon_p, family, fe_degree, op, log,
+                                      level_dtype)
+            if level_dtype != dtype:
+                from ..precond.adapter import PrecisionAdapter
+
+                mg_inner = precon
+                precon = PrecisionAdapter(mg_inner, level_dtype)
+                precon.timer = mg_inner.timer
     else:
         precon = create_system_preconditioner(op, precon_p, log)
 
@@ -342,7 +387,8 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
     n_1d = dofs.n_dofs ** (1.0 / family.dim)
     refinement_safe = n_1d <= 80.0
     use_refinement = (
-        mg_inner is not None and solver_type in ("CG", "GMRES")
+        mg_inner is not None and sharded is None
+        and solver_type in ("CG", "GMRES")
         and (mp_solve is True
              or (mp_solve == "auto" and dtype == jnp.float64
                  and dofs.n_dofs > 2_000_000 and refinement_safe)))
@@ -360,6 +406,16 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
                 op.vmult, op32.vmult, b, mg_inner.vmult,
                 rel_tolerance=rel_tol, abs_tolerance=abs_tol,
                 inner_reduction=inner_red, inner_solver=inner_solver, log=log)
+    elif sharded is not None:
+        b_pad = sharded.pad(b)
+        sh_vmult = sharded.vmult
+
+        def dispatch():
+            r = krylov_solve(solver_type, sh_vmult, b_pad, M=precon.vmult,
+                             max_iterations=max_it, abs_tolerance=abs_tol,
+                             rel_tolerance=rel_tol, **kwargs)
+            r.x = sharded.unpad(r.x)
+            return r
     else:
         def dispatch():
             return krylov_solve(solver_type, op.vmult, b, M=precon.vmult,

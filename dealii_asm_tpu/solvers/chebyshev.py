@@ -47,15 +47,18 @@ class EigenvalueInfo:
 
 
 def estimate_eigenvalues(A, n_dofs: int, M=None, constrained_mask=None,
-                         n_iterations: int = 40, algorithm: str = "lanczos") -> EigenvalueInfo:
+                         n_iterations: int = 40, algorithm: str = "lanczos",
+                         b0=None) -> EigenvalueInfo:
     """Estimate the largest eigenvalue of M⁻¹A.
 
     lanczos: CG tridiagonal after ``n_iterations`` its (deal.II eig_cg_n_iterations=40,
     /root/reference/include/precondition.templates.h:110).
     power iteration: ``n_iterations`` power steps on M⁻¹A.
     Returns (λ̂, 1.2·λ̂) matching the reference's printed min/max ev contract.
+    ``b0`` overrides the start vector (sharded layouts pass the PADDED i%11
+    pattern so estimates match the single-device run exactly).
     """
-    b = eig_initial_guess(n_dofs, constrained_mask)
+    b = eig_initial_guess(n_dofs, constrained_mask) if b0 is None else b0
     if algorithm == "lanczos":
         # stop the Lanczos CG when it has converged *in working precision*:
         # past convergence/stagnation the alpha/beta coefficients are noise
@@ -108,7 +111,8 @@ class ChebyshevPreconditioner:
 
     def __init__(self, A, M, n_dofs, degree=3, smoothing_range=20.0,
                  polynomial_type="1st kind", eigenvalues: EigenvalueInfo | None = None,
-                 constrained_mask=None, ev_algorithm="lanczos", eig_cg_n_iterations=40):
+                 constrained_mask=None, ev_algorithm="lanczos",
+                 eig_cg_n_iterations=40, eig_b0=None):
         self.A = A
         self.M = M
         self.degree = int(degree)
@@ -117,7 +121,8 @@ class ChebyshevPreconditioner:
         if eigenvalues is None:
             eigenvalues = estimate_eigenvalues(
                 A, n_dofs, M=M, constrained_mask=constrained_mask,
-                n_iterations=eig_cg_n_iterations, algorithm=ev_algorithm)
+                n_iterations=eig_cg_n_iterations, algorithm=ev_algorithm,
+                b0=eig_b0)
         self.eigenvalues = eigenvalues
         mx = eigenvalues.max_eigenvalue_estimate
         mn = eigenvalues.min_eigenvalue_estimate
@@ -204,7 +209,7 @@ class RelaxationPreconditioner:
 
     def __init__(self, A, M, n_dofs, n_iterations=3, omega=0.0,
                  eigenvalues: EigenvalueInfo | None = None, smoothing_range=20.0,
-                 constrained_mask=None, ev_algorithm="lanczos"):
+                 constrained_mask=None, ev_algorithm="lanczos", eig_b0=None):
         self.A = A
         self.M = M
         self.n_iterations = int(n_iterations)
@@ -212,7 +217,7 @@ class RelaxationPreconditioner:
             if eigenvalues is None:
                 eigenvalues = estimate_eigenvalues(
                     A, n_dofs, M=M, constrained_mask=constrained_mask,
-                    algorithm=ev_algorithm)
+                    algorithm=ev_algorithm, b0=eig_b0)
             mx = eigenvalues.max_eigenvalue_estimate
             alpha = mx / smoothing_range if smoothing_range > 1.0 else min(
                 0.9 * mx, eigenvalues.min_eigenvalue_estimate)
