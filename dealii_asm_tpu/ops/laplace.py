@@ -17,6 +17,7 @@ Two compute paths:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -383,6 +384,37 @@ class LaplaceOperator:
                         h[a] * h[b_])
                     tabs.extend(jnp.asarray(x) for x in split_table_np(t64))
                 self.coeff6_dd = tuple(tabs)
+            # fused Pallas dd vmult for DEFORMED geometry: the XLA windowed
+            # dd composition materializes ~17 dd q-grid intermediates in HBM
+            # between elementwise passes (0.244 s/apply at 7.2M Kershaw Q4 —
+            # the round-2 E2E deficit); the fused kernel streams the split
+            # coefficient blocks through VMEM z-slabs.  kernel="pallas-dd"
+            # forces interpret mode off-TPU (tests).  Reference hot path:
+            # /root/reference/include/operator.h:1162-1219.
+            self._merged_dd_pallas = None
+            if (self.coeff6_dd is not None and self.dim == 3
+                    and not any(self.mesh.periodic)
+                    and self.n_q_1d == self.degree + 1
+                    and kernel in ("sumfac", "pallas-dd")):
+                backend = jax.default_backend()
+                if backend in ("tpu", "axon") or kernel == "pallas-dd":
+                    try:
+                        from .pallas.merged_vmult import MergedDDVmultKernel
+
+                        self._merged_dd_pallas = MergedDDVmultKernel(
+                            self, interpret=backend not in ("tpu", "axon"))
+                    except ValueError:
+                        pass  # unsupported shape: XLA windowed path is fine
+                    except Exception as e:
+                        import warnings
+
+                        msg = ("Pallas MergedDDVmultKernel failed on an "
+                               "eligible configuration — falling back to "
+                               f"the XLA dd composition: {e!r}")
+                        if os.environ.get(
+                                "DEALII_ASM_TPU_REQUIRE_PALLAS") == "1":
+                            raise RuntimeError(msg) from e
+                        warnings.warn(msg, RuntimeWarning, stacklevel=2)
         self.jxw = jnp.asarray(geo.jxw, dtype)           # (C, Q)
 
         # reference-gradient tensor for the fused-B path and diagonal
@@ -398,16 +430,29 @@ class LaplaceOperator:
         # the merged-geometry coefficient tensors are O(n): pass them as jit
         # ARGUMENTS (captured constants ship inside the compile request and
         # overflow remote-compile size limits at scale)
-        if getattr(self, "coeff6_dd", None) is not None:
+        if getattr(self, "_merged_dd_pallas", None) is not None:
+            self._coeff_args = tuple(self._merged_dd_pallas.coeff_wtabs)
+        elif getattr(self, "coeff6_dd", None) is not None:
             self._coeff_args = self.coeff6_dd
         else:
             self._coeff_args = tuple(getattr(self, "coeff6", ()) or ())
-        self._vmult = jax.jit(lambda u, *c6: self._vmult_impl(u, c6))
+        # interpret-mode merged dd kernel traced into these jits on CPU:
+        # compile with XLA:CPU's fusion pass off so the dd error-free
+        # transforms stay exact (see dd_vmult.EXACT_EFT_CPU_COMPILER_OPTIONS)
+        _jopts = None
+        if (getattr(self, "_merged_dd_pallas", None) is not None
+                and self._merged_dd_pallas.interpret):
+            from .pallas.dd_vmult import EXACT_EFT_CPU_COMPILER_OPTIONS
+
+            _jopts = EXACT_EFT_CPU_COMPILER_OPTIONS
+        self._vmult = jax.jit(lambda u, *c6: self._vmult_impl(u, c6),
+                              compiler_options=_jopts)
         # fused-vector-op forms (the reference fuses pre/post vector updates
         # into the cell loop, operator.h:1368-1430; under XLA the fusion is
         # automatic inside one jitted expression)
         self._residual = jax.jit(
-            lambda b, x, *c6: b - self._vmult_impl(x, c6))
+            lambda b, x, *c6: b - self._vmult_impl(x, c6),
+            compiler_options=_jopts)
 
     def residual(self, b, x):
         """r = b - A x as one fused program."""
@@ -609,6 +654,16 @@ class LaplaceOperator:
             )
 
             if (np.dtype(self.dtype) == np.float64
+                    and getattr(self, "_merged_dd_pallas", None) is not None):
+                # fused Pallas dd kernel (see __init__): dd-exact, one pass.
+                # coeff6 here IS the kernel's split window tables (see the
+                # _coeff_args selection) — passed as jit args, traced inline
+                from .ddmath import dd_from_f64, dd_to_f64
+
+                uh, ul = dd_from_f64(u0)
+                vh, vl = self._merged_dd_pallas._vmult_impl(uh, ul, *coeff6)
+                dst = dd_to_f64(vh, vl)
+            elif (np.dtype(self.dtype) == np.float64
                     and getattr(self, "coeff6_dd", None) is not None):
                 # double-single windowed form: native-f32 Dekker/TwoSum
                 # arithmetic replaces XLA's emulated f64 (measured 1.91 s ->
@@ -670,9 +725,14 @@ class LaplaceOperator:
     @property
     def supports_dd(self) -> bool:
         """True when vmult_dd is available (dd-pair outer Krylov loops)."""
-        return (bool(getattr(self, "Mdd", None)) and self.access == "lattice"
-                and self.coeff is None and self.stable_factors is None
-                and self.kernel != "banded")
+        if self.access != "lattice" or self.kernel == "banded":
+            return False
+        if self.coeff is None:
+            return (bool(getattr(self, "Mdd", None))
+                    and self.stable_factors is None)
+        # deformed geometry: only via the fused Pallas dd kernel (the XLA
+        # windowed dd composition stays behind the f64 vmult wrapper)
+        return getattr(self, "_merged_dd_pallas", None) is not None
 
     def vmult_dd(self, uh, ul):
         """A·u on a double-single pair (hi, lo f32) — the dd-CG matvec.
@@ -686,7 +746,9 @@ class LaplaceOperator:
         free = self._free_mask()
         u0h = jnp.where(free, uh, 0.0).astype(jnp.float32)
         u0l = jnp.where(free, ul, 0.0).astype(jnp.float32)
-        if self._dd_pallas is not None:
+        if self.coeff is not None:
+            vh, vl = self._merged_dd_pallas.vmult_dd(u0h, u0l)
+        elif self._dd_pallas is not None:
             vh, vl = self._dd_pallas.vmult_dd(u0h, u0l)
         else:
             from .tensorops import separable_laplace_apply_banded_dd

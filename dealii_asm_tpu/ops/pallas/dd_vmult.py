@@ -38,6 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 8  # z-planes per grid step (sublane tile multiple)
 
 
+# XLA:CPU's fusion path silently degrades the error-free transforms below:
+# compiled dd results deviate ~3e-8 (plain-f32 level) from the identical
+# arithmetic run per-op (eager) or on the TPU Mosaic backend, which are both
+# dd-exact to ~1e-14.  Bisected on a 2-term minimal repro: the emitted HLO is
+# structurally complete, the LLVM kernels carry no fast-math flags, no FMA
+# contraction and no f64 promotion — yet `--xla_disable_hlo_passes=fusion`
+# restores exactness, so the defect sits in the CPU fusion emitter itself.
+# optimization_barrier does NOT help (results bit-identical with/without).
+# Interpret-mode (CPU test) callers therefore compile their wrapping jit with
+# compiler_options={"xla_disable_hlo_passes": "fusion"}; the production TPU
+# path needs nothing.
+EXACT_EFT_CPU_COMPILER_OPTIONS = {"xla_disable_hlo_passes": "fusion"}
+
+
 def _split12(a):
     c = 4097.0 * a  # Veltkamp split, 2^12 + 1 (ops/ddmath.py:split12)
     big = c - a
