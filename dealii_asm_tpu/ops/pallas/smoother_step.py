@@ -142,7 +142,8 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             out_ref,
             p1r, p2r, azr, carry, xr,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
-            y_banded: bool = False,
+            y_banded: bool = False, p_stack: bool = False,
+            interpret: bool = False,
             prec_a: str = "highest", prec_f: str = "highest",
             stages: str = "PAF"):
     # `stages` is a PROFILING knob (subset of "PAF"): dropping a letter skips
@@ -169,6 +170,30 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
     @pl.when((i <= n_win) & ("P" in stages))
     def _():
         slot = i % 4
+        if p_stack and y_banded:
+            # ALL p planes stacked along sublanes: the x-dots become 2 wide
+            # dots and the y-banded applies run ONCE on the (p·ny, nx) stack
+            # with p-tiled column tables — 18 sublane rolls per grid step
+            # instead of 18·p (rolls are instruction-bound: dense-y at +36
+            # MXU passes measured the same as 72 rolls).  Cross-plane roll
+            # contamination is killed by the tables' per-plane edge zeros
+            # (col outside [0, ny) ⇒ zero entry — same guard as the wrap).
+            ny = x3_ref.shape[1]
+            for t in range(p):
+                xr[slot, t] = x3_ref[t]
+            X4 = jnp.concatenate([x3_ref[t] for t in range(p)], axis=0)
+            if x_dense:
+                ax = _dot(X4, dmx_ref[:], prec_a)
+                kx = _dot(X4, dkx_ref[:], prec_a)
+            else:
+                ax, kx = _band_x2(X4, dmx_ref, dkx_ref, n_diag)
+            my_ax, ky_ax = _band_y2(ax, my_ref, ky_ref, n_diag)
+            my_kx = _band_y1(kx, my_ref, n_diag)
+            p2s = ky_ax + my_kx
+            for t in range(p):
+                p1r[slot, t] = my_ax[t * ny : (t + 1) * ny]
+                p2r[slot, t] = p2s[t * ny : (t + 1) * ny]
+            return
         for t in range(p):
             xpl = x3_ref[t]
             # x plane ring: block i+3, consumed by the F-stage 3 steps later
@@ -176,9 +201,6 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             xr[slot, t] = xpl
             if x_dense:
                 # x-apply as dense MXU dots (tables = M̂ₓᵀ/K̂ₓᵀ padded).
-                # Measured SLOWER on v5e at Q4/64³ (4.62 vs 4.10 ms/step):
-                # the 3-pass "high" dots cost more than 2p+1 lane rolls —
-                # kept as an option for higher degrees / wider bands
                 ax = _dot(xpl, dmx_ref[:], prec_a)
                 kx = _dot(xpl, dkx_ref[:], prec_a)
             else:
@@ -237,6 +259,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         mx = gxT_ref.shape[1]
 
         if n_wy == 0:
+            # sub-F profiling cuts: a digit in `stages` truncates the F
+            # pipeline after N of its 5 parts (1=Ts, 2=+Gy dot, 3=+Gx+scale,
+            # 4=+Gyt dot, 5/none=full) — outputs are garbage but the DMA
+            # pattern is unchanged, isolating per-part cost on-chip
+            f_cut = next((int(ch) for ch in stages if ch.isdigit()), 5)
             # batch the m per-k y-transforms into ONE wide dot each way
             # (the k-loop's 2m small Gy/Gyt dots serialize past the DMA
             # shadow; a (ny, m·nx) operand keeps the MXU busy)
@@ -246,16 +273,37 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                 for s in range(1, m):
                     T = T + vzf_ref[wz, s, k] * r_plane(s)
                 Ts.append(T)
+            if f_cut <= 1:
+                for s in range(p):
+                    out_ref[s] = Ts[s % m]
+                return
             B_cat = _dot(gy_ref[:], jnp.concatenate(Ts, axis=1).astype(dt),
                          prec_f)
+            if f_cut <= 2:
+                for s in range(p):
+                    out_ref[s] = B_cat[:, :nx].astype(f32)
+                return
             mx = gxT_ref.shape[1]
             Cqs = []
             for k in range(m):
                 Cq = _dot(B_cat[:, k * nx : (k + 1) * nx].astype(dt),
                           gxT_ref[:], prec_f)
-                Cqs.append(Cq / (lamyx_ref[:] + lamz_ref[wz, k]))
+                # eigen scale via APPROX reciprocal + mult: the full-
+                # precision VPU divide costs ~7x a mad; the F-path is a bf16
+                # preconditioner transform, so the ~2^-12 approx error is
+                # far below the dot noise already accepted here
+                d = lamyx_ref[:] + lamz_ref[wz, k]
+                Cqs.append(Cq * pl.reciprocal(d, approx=not interpret))
+            if f_cut <= 3:
+                for s in range(p):
+                    out_ref[s] = Cqs[s % m][:, :nx].astype(f32)
+                return
             Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dt),
                          prec_f)
+            if f_cut <= 4:
+                for s in range(p):
+                    out_ref[s] = Y_cat[:, :nx].astype(f32)
+                return
             for k in range(m):
                 Z = _dot(Y_cat[:, k * mx : (k + 1) * mx].astype(dt),
                          gxtT_ref[:], prec_f)
@@ -346,15 +394,235 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             out_ref[s] = jnp.zeros_like(out_ref[s])
 
 
+def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
+                  vzb_ref, omegas_ref, x3_ref, b_ref,
+                  dmx_ref, dkx_ref, my_ref, ky_ref,
+                  gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
+                  out_ref, *scratch,
+                  m: int, p: int, n_win: int, n_chain: int, bdepth: int,
+                  x_dense: bool = True, interpret: bool = False,
+                  prec_a: str = "highest", prec_f: str = "highest",
+                  stages: str = "PAF"):
+    """S = n_chain fused smoother steps in ONE pass over HBM.
+
+    Each sub-step s runs the same P/A/F pipeline as _kernel, lagged 3 grid
+    steps behind sub-step s−1; the intermediate iterate never touches HBM —
+    F_{s−1} hands its freshly completed plane block to P_s through the
+    ``ystage`` VMEM block within the same grid step (program order: the s
+    loop emits F_{s−1} before P_s).  b is read once and ring-buffered for
+    the later sub-steps.  DMA per chain: read x, read b, write out — the
+    same 3 streams one step costs, so the per-step stream floor drops ~S×.
+    This is the production smoothing shape (a Chebyshev/Richardson sweep is
+    a chain of such steps on one b); reference analog: the fused pre/post
+    vector-operation ranges of matrix_free.h:1007-1364 applied across a
+    whole smoother sweep instead of one operator application.
+
+    Sub-step stage windows at grid step i (base = 3s):
+      P_s: window w = i−base        (reads x3_ref if s==0 else ystage)
+      A_s: rows of w2 = i−base−2    (b from b_ref if s==0 else the b ring)
+      F_s: window w = i−base−3      (writes ystage, or out_ref when last)
+    Grid length n_win + 3S + 1; out block i holds window i−3S.
+    Supports the production configuration only: y banded + p-stack P-stage,
+    dense-G F-stage (n_wy == 0); x_dense selects MXU vs banded x-apply."""
+    i = pl.program_id(0)
+    n_diag = 2 * p + 1
+    S = n_chain
+    bring = scratch[0]
+    ystage = scratch[1]
+    subs = [tuple(scratch[2 + 5 * s: 7 + 5 * s]) for s in range(S)]
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(S):
+            p1r, p2r, azr, carry, xr = subs[s]
+            p1r[...] = jnp.zeros_like(p1r)
+            p2r[...] = jnp.zeros_like(p2r)
+            azr[...] = jnp.zeros_like(azr)
+            carry[...] = jnp.zeros_like(carry)
+
+    ny = x3_ref.shape[1]
+    nx = x3_ref.shape[2]
+    mx = gxT_ref.shape[1]
+
+    for s in range(S):
+        base = 3 * s
+        p1r, p2r, azr, carry, xr = subs[s]
+        last = s == S - 1
+
+        # ---- P_s: in-plane transforms of the sub-step's iterate ----------
+        @pl.when((i >= base) & (i <= base + n_win) & ("P" in stages))
+        def _(s=s, base=base, p1r=p1r, p2r=p2r, xr=xr):
+            w = i - base
+            slot = w % 4
+            planes = ([x3_ref[t] for t in range(p)] if s == 0
+                      else [ystage[t] for t in range(p)])
+            for t in range(p):
+                xr[slot, t] = planes[t]
+            X4 = jnp.concatenate(planes, axis=0)
+            if x_dense:
+                ax = _dot(X4, dmx_ref[:], prec_a)
+                kx = _dot(X4, dkx_ref[:], prec_a)
+            else:
+                ax, kx = _band_x2(X4, dmx_ref, dkx_ref, n_diag)
+            my_ax, ky_ax = _band_y2(ax, my_ref, ky_ref, n_diag)
+            my_kx = _band_y1(kx, my_ref, n_diag)
+            p2s = ky_ax + my_kx
+            for t in range(p):
+                p1r[slot, t] = my_ax[t * ny: (t + 1) * ny]
+                p2r[slot, t] = p2s[t * ny: (t + 1) * ny]
+
+        # ---- A_s: residual rows ------------------------------------------
+        @pl.when((i >= base + 2) & (i <= base + n_win + 2)
+                 & ("A" in stages))
+        def _(s=s, base=base, p1r=p1r, p2r=p2r, azr=azr):
+            w2 = i - base - 2
+            ku = kid_ref[w2]
+            aslot = w2 % 2
+            for t in range(p):
+                acc = None
+                for j in range(t, t + n_diag):
+                    pslot = (w2 - 1 + j // p) % 4
+                    row = j % p
+                    term = (kzr_ref[ku, t, j] * p1r[pslot, row]
+                            + mzr_ref[ku, t, j] * p2r[pslot, row])
+                    acc = term if acc is None else acc + term
+                if s == 0:
+                    bt = b_ref[t]
+                    if S > 1:
+                        bring[w2 % bdepth, t] = bt
+                else:
+                    bt = bring[w2 % bdepth, t]
+                azr[aslot, t] = bt - acc
+
+        # ---- F_s: FDM apply + update -------------------------------------
+        @pl.when((i >= base + 3) & (i <= base + n_win + 2)
+                 & ("F" in stages))
+        def _(s=s, base=base, azr=azr, carry=carry, xr=xr, last=last):
+            w = i - base - 3
+            wz = zid_ref[w]
+            omega = omegas_ref[s, 0]
+            dt = gy_ref.dtype
+            tgt = out_ref if last else ystage
+
+            def r_plane(t):
+                return azr[w % 2, t] if t < p else azr[(w + 1) % 2, 0]
+
+            xslot = w % 4
+            Ts = []
+            for k in range(m):
+                T = vzf_ref[wz, 0, k] * r_plane(0)
+                for t2 in range(1, m):
+                    T = T + vzf_ref[wz, t2, k] * r_plane(t2)
+                Ts.append(T)
+            B_cat = _dot(gy_ref[:], jnp.concatenate(Ts, axis=1).astype(dt),
+                         prec_f)
+            Cqs = []
+            for k in range(m):
+                Cq = _dot(B_cat[:, k * nx: (k + 1) * nx].astype(dt),
+                          gxT_ref[:], prec_f)
+                d = lamyx_ref[:] + lamz_ref[wz, k]
+                Cqs.append(Cq * pl.reciprocal(d, approx=not interpret))
+            Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dt),
+                         prec_f)
+            for k in range(m):
+                Z = _dot(Y_cat[:, k * mx: (k + 1) * mx].astype(dt),
+                         gxtT_ref[:], prec_f)
+                for t2 in range(p):
+                    if k == 0:
+                        tgt[t2] = xr[xslot, t2] + omega * (
+                            vzb_ref[wz, t2, k] * Z)
+                    else:
+                        tgt[t2] += omega * (vzb_ref[wz, t2, k] * Z)
+                if k == 0:
+                    carry[1] = vzb_ref[wz, m - 1, k] * Z
+                else:
+                    carry[1] += vzb_ref[wz, m - 1, k] * Z
+
+            @pl.when(w > 0)
+            def _():
+                tgt[0] += omega * carry[0]
+
+            carry[0] = carry[1]
+
+        # ---- cleanup_s: flush the final shared plane ----------------------
+        @pl.when(i == base + n_win + 3)
+        def _(s=s, carry=carry, xr=xr, last=last):
+            tgt = out_ref if last else ystage
+            tgt[0] = xr[n_win % 4, 0] + omegas_ref[s, 0] * carry[0]
+            for t in range(1, p):
+                tgt[t] = jnp.zeros_like(tgt[t])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "n_chain", "prec", "interpret",
+                              "stages"))
+def _call_chain(x, b, omegas, tables, shape, n_chain,
+                prec=("highest", "highest"), interpret=False, stages="PAF"):
+    ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack = shape
+    assert n_wy == 0 and y_banded and p_stack, \
+        "chain kernel supports the production configuration only"
+    (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
+     gy, gyt, gxT, gxtT, lamyx) = tables
+    S = int(n_chain)
+    bdepth = 4 if S <= 2 else 8
+    kern = functools.partial(
+        _kernel_chain, m=m, p=p, n_win=n_win, n_chain=S, bdepth=bdepth,
+        x_dense=bool(x_dense), interpret=bool(interpret),
+        prec_a=prec[0], prec_f=prec[1], stages=stages)
+    blk = (p, ny, nx)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    F = 3 * S  # front pad blocks; grid length n_win + 3S + 1
+    scratch = [pltpu.VMEM((bdepth, p, ny, nx), jnp.float32),   # b ring
+               pltpu.VMEM((p, ny, nx), jnp.float32)]           # ystage
+    for _s in range(S):
+        scratch += [pltpu.VMEM((4, p, ny, nx), jnp.float32),   # P1 ring
+                    pltpu.VMEM((4, p, ny, nx), jnp.float32),   # P2 ring
+                    pltpu.VMEM((2, p, ny, nx), jnp.float32),   # r ring
+                    pltpu.VMEM((2, ny, nx), jnp.float32),      # carry
+                    pltpu.VMEM((4, p, ny, nx), jnp.float32)]   # x ring
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_win + 3 * S + 1,),
+        in_specs=[
+            smem, smem,
+            smem, smem, smem, smem, smem, smem,
+            pl.BlockSpec(blk, lambda i: (i + F, 0, 0),
+                         memory_space=pltpu.VMEM),        # x: P_0 planes
+            pl.BlockSpec(blk, lambda i: (i + F - 2, 0, 0),
+                         memory_space=pltpu.VMEM),        # b: A_0 rows
+            vmem, vmem, vmem, vmem,
+            vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(kid, zid, kzr, mzr, lamz, vzf, vzb, omegas, x, b,
+          dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("shape", "prec", "interpret", "stages"))
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False, stages="PAF"):
-    ny, nx, m, p, n_win, n_wy, x_dense, y_banded = shape
+    ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
+                             p_stack=bool(p_stack), interpret=bool(interpret),
                              prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -411,11 +679,18 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
 class SmootherStepKernel:
     """x' = x + ω P⁻¹ (b − A x) as ONE Pallas kernel (Cartesian, FDM ov1)."""
 
-    def __init__(self, op, asm, transform_dtype=jnp.float32,
+    def __init__(self, op, asm, transform_dtype=jnp.bfloat16,
                  fdm_y: str = "dense", x_apply: str = "dense",
-                 y_apply: str = "banded",
+                 y_apply: str = "banded", p_stack: bool = True,
                  precision_a: str = "high",
-                 precision_f: str = "bf16"):
+                 precision_f: str = "bf16",
+                 n_chain: int = 1):
+        # transform_dtype bf16: numerically IDENTICAL to f32 storage (the
+        # F-path dots round both operands to bf16 anyway) but halves the
+        # G-table DMA and kills the per-dot table casts — measured −9%.
+        # p_stack: all p planes stacked along sublanes in the P-stage —
+        # 18 y-rolls per grid step instead of 18·p (rolls are
+        # instruction-bound).
         # default variant (v5e, Q4 64³, chained padded steps — measured):
         #   x=dense/high 5.19, x=banded 4.85, all-banded 4.69, all-dense 4.29,
         #   pa=default 5.91 GDoF/s (rejected: bf16 A-path noise broke MG
@@ -503,6 +778,8 @@ class SmootherStepKernel:
                 okc = (cols >= 0) & (cols < nxt)
                 dmx[k, rows[okc]] = Mxf[rows[okc], cols[okc]]
                 dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
+        self._p_stack = bool(p_stack and y_apply == "banded"
+                             and self._n_wy == 0)
         if y_apply == "banded":
             # column tables D[r, k] = M[r, r + k − p]; zeros kill wrapped
             # sublane rows and the y padding
@@ -514,6 +791,11 @@ class SmootherStepKernel:
                 okc = (cols >= 0) & (cols < nyt)
                 my_m[rows_y[okc], k] = Myf[rows_y[okc], cols[okc]]
                 ky_m[rows_y[okc], k] = Kyf[rows_y[okc], cols[okc]]
+            if self._p_stack:
+                # p-tiled tables for the stacked apply (per-plane edge zeros
+                # double as the cross-plane roll guard)
+                my_m = np.tile(my_m, (p, 1))
+                ky_m = np.tile(ky_m, (p, 1))
         else:
             # y-direction dense (padded)
             my_m = np.zeros((nyp, nyp), np.float32)
@@ -621,14 +903,24 @@ class SmootherStepKernel:
             lamyx_t,
         )
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
-                      int(x_apply == "dense"), int(y_apply == "banded"))
+                      int(x_apply == "dense"), int(y_apply == "banded"),
+                      int(self._p_stack))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.trim_shape = (nzt, nyt, nxt)
         self.p = p
-        # x/b front-padded by 3 blocks + 4 tail blocks beyond the grid so all
-        # block index maps stay affine: total (n_win+7) blocks
-        self._pad = ((3 * p, (n_win + 7) * p - nzt - 3 * p),
+        # x/b front-padded by 3·n_chain blocks + tail blocks beyond the grid
+        # so all block index maps stay affine: total (n_win + 6S + 1) blocks
+        # (S = 1 reproduces the single-step n_win+7 layout)
+        self.n_chain = int(n_chain)
+        S = self.n_chain
+        if S > 1 and (self._n_wy or y_apply != "banded"
+                      or not self._p_stack):
+            raise ValueError("n_chain > 1 requires the production "
+                             "configuration (banded-y p-stack, dense G)")
+        self._front = 3 * S * p
+        self._pad = ((self._front,
+                      (n_win + 6 * S + 1) * p - nzt - self._front),
                      (0, nyp - nyt), (0, nxp - nxt))
 
     def pad_grid(self, g):
@@ -644,7 +936,7 @@ class SmootherStepKernel:
         there, so it is restored from ``full_src`` (the pre-step x grid /
         any grid holding the constrained values); zeros when omitted."""
         nzt, nyt, nxt = self.trim_shape
-        inner = gp[3 * self.p : 3 * self.p + nzt, :nyt, :nxt]
+        inner = gp[self._front : self._front + nzt, :nyt, :nxt]
         if full_src is None:
             full_src = jnp.zeros(self.grid_shape, gp.dtype)
         return full_src.astype(gp.dtype).at[:nzt, :nyt, :nxt].set(inner)
@@ -653,9 +945,21 @@ class SmootherStepKernel:
         """One step in the padded layout: in and out share the same shape,
         so consecutive steps (and level ops that accept the padded grid)
         chain with zero pad/slice traffic."""
+        assert self.n_chain == 1, "use steps_padded on a chain kernel"
         om = jnp.full((1, 1), omega, jnp.float32)
         return _call(xp, bp, om, self.tables, self.shape,
                      prec=self.precisions, interpret=interpret, stages=stages)
+
+    def steps_padded(self, xp, bp, omegas, interpret=False, stages="PAF"):
+        """n_chain fused steps in ONE HBM pass (padded layout).
+
+        omegas: n_chain relaxation factors, one per sub-step.  DMA cost is
+        that of a single step (read x, read b, write out); the intermediate
+        iterates live in VMEM only (_kernel_chain)."""
+        om = jnp.asarray(omegas, jnp.float32).reshape(self.n_chain, 1)
+        return _call_chain(xp, bp, om, self.tables, self.shape,
+                           n_chain=self.n_chain, prec=self.precisions,
+                           interpret=interpret, stages=stages)
 
     def step_grids(self, xg, bg, omega=1.0, interpret=False):
         out = self.step_padded(self.pad_grid(xg), self.pad_grid(bg), omega,

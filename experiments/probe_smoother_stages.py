@@ -25,7 +25,8 @@ def main():
     mesh = StructuredMesh(dim=3, n_cells=(c, c, c))
     dofs = DofHandler(mesh, p)
     op = LaplaceOperator(dofs, dtype=jnp.float32)
-    asm = ASMPreconditioner(op, n_overlap=1, weighting="symm")
+    asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                            dtype=jnp.float32)
     kern = SmootherStepKernel(op, asm)
     n = dofs.n_dofs
     print("n_dofs", n)
@@ -36,7 +37,10 @@ def main():
     bp = kern.pad_grid(xg * 0.5)
 
     REP = 30
-    for stages in ["", "P", "A", "F", "PA", "PAF"]:
+    sets = sys.argv[1:] or ["", "P", "A", "F", "PA", "PAF1", "PAF2",
+                            "PAF3", "PAF4", "PAF"]
+    for stages in sets:
+        stages = stages.replace("_", "")
         @jax.jit
         def chain(xp, bp, s=stages):
             def body(x, _):

@@ -98,6 +98,44 @@ class TestSmootherStepKernel:
         assert reld < 3e-2
 
 
+class TestChainedSmootherKernel:
+    @pytest.mark.parametrize("cells,p,n_chain", [
+        ((4, 4, 4), 2, 2),
+        ((4, 3, 5), 3, 2),
+        ((3, 4, 4), 2, 3),
+    ])
+    def test_chain_matches_repeated_steps(self, cells, p, n_chain):
+        """The fused n_chain-step kernel == n_chain single fused steps
+        (smoother_step._kernel_chain; intermediate iterates stay in VMEM)."""
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op = LaplaceOperator(dofs, dtype=jnp.float32)
+        asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                                dtype=jnp.float32)
+        k1 = SmootherStepKernel(op, asm)
+        kc = SmootherStepKernel(op, asm, n_chain=n_chain)
+        rng = np.random.default_rng(3)
+        nz, ny, nx = k1.grid_shape
+        xg = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+        bg = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+        omegas = [0.9, 1.0, 0.7][:n_chain]
+        ref = xg
+        for om in omegas:
+            ref = k1.step_grids(ref, bg, om, interpret=True)
+        out = kc.unpad_grid(
+            kc.steps_padded(kc.pad_grid(xg), kc.pad_grid(bg), omegas,
+                            interpret=True), full_src=xg)
+        ref = np.asarray(ref)
+        out = np.asarray(out)
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        # identical per-step arithmetic; tolerance covers XLA:CPU's
+        # fusion-dependent f32 rounding differences between the two programs
+        assert rel < 1e-5
+
+
 class TestDDVmultKernel:
     @pytest.mark.parametrize("cells,p", [
         ((4, 4, 4), 3),
