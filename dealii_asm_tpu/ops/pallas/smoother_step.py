@@ -143,6 +143,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             p1r, p2r, azr, carry, xr,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False, p_stack: bool = False,
+            x_fused: bool = False, f_stack: bool = False,
             interpret: bool = False,
             prec_a: str = "highest", prec_f: str = "highest",
             stages: str = "PAF"):
@@ -166,6 +167,20 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         azr[...] = jnp.zeros_like(azr)
         carry[...] = jnp.zeros_like(carry)
 
+    if "D" in stages:
+        # overlap diagnostic: ~N plane-FMAs of input-independent VPU work.
+        # If the pipeline overlaps compute with the block DMA, this stage is
+        # free until it exceeds the stream shadow; if stage costs ADD on the
+        # skeleton instead, the pipeline is serialized.
+        n_dummy = next((int(ch) for ch in stages if ch.isdigit()), 1) * 100
+
+        @pl.when(i >= 0)
+        def _():
+            v = p1r[0, 0]
+            for _ in range(n_dummy):
+                v = v * 1.000001 + 0.25
+            p1r[0, 0] = v
+
     # ---- P-stage: planes p·i .. p·i+p−1 ------------------------------------
     @pl.when((i <= n_win) & ("P" in stages))
     def _():
@@ -182,7 +197,14 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             for t in range(p):
                 xr[slot, t] = x3_ref[t]
             X4 = jnp.concatenate([x3_ref[t] for t in range(p)], axis=0)
-            if x_dense:
+            if x_dense and x_fused:
+                # M̂ₓᵀ and K̂ₓᵀ side by side in ONE table: halves the MXU
+                # call count of the P-stage (same MACs, one weight pipeline)
+                nxp_ = x3_ref.shape[2]
+                axkx = _dot(X4, dmx_ref[:], prec_a)
+                ax = axkx[:, :nxp_]
+                kx = axkx[:, nxp_:]
+            elif x_dense:
                 ax = _dot(X4, dmx_ref[:], prec_a)
                 kx = _dot(X4, dkx_ref[:], prec_a)
             else:
@@ -281,42 +303,76 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                          prec_f)
             if f_cut <= 2:
                 for s in range(p):
-                    out_ref[s] = B_cat[:, :nx].astype(f32)
+                    out_ref[s] = B_cat[:ny, :nx].astype(f32)
                 return
             mx = gxT_ref.shape[1]
+            my_e = gy_ref.shape[0]
+            if f_stack:
+                # k-STACKED x transforms: the 2m small per-k Gx/Gxt dots
+                # become 2 wide dots on sublane-restacked operands (the
+                # restacks are plain VMEM copies; small dots pay a weight
+                # pipeline each)
+                Bs = jnp.concatenate(
+                    [B_cat[:, k * nx : (k + 1) * nx] for k in range(m)],
+                    axis=0)
+                Cq_all = _dot(Bs.astype(dt), gxT_ref[:], prec_f)
+                Cq_all = Cq_all * lamyx_ref[wz]
+                Cq_cat = jnp.concatenate(
+                    [Cq_all[k * my_e : (k + 1) * my_e] for k in range(m)],
+                    axis=1)
+                Y_cat = _dot(gyt_ref[:], Cq_cat.astype(dt), prec_f)
+                Ys = jnp.concatenate(
+                    [Y_cat[:, k * mx : (k + 1) * mx] for k in range(m)],
+                    axis=0)
+                Z_all = _dot(Ys.astype(dt), gxtT_ref[:], prec_f)
+                accs = [None] * m
+                for k in range(m):
+                    Z = Z_all[k * ny : (k + 1) * ny]
+                    for s in range(m):
+                        t = vzb_ref[wz, s, k] * Z
+                        accs[s] = t if accs[s] is None else accs[s] + t
+                for s in range(p):
+                    out_ref[s] = xr[xslot, s] + omega * accs[s]
+                carry[1] = accs[m - 1]
+
+                @pl.when(w > 0)
+                def _():
+                    out_ref[0] += omega * carry[0]
+
+                carry[0] = carry[1]
+                return
             Cqs = []
             for k in range(m):
                 Cq = _dot(B_cat[:, k * nx : (k + 1) * nx].astype(dt),
                           gxT_ref[:], prec_f)
-                # eigen scale via APPROX reciprocal + mult: the full-
-                # precision VPU divide costs ~7x a mad; the F-path is a bf16
-                # preconditioner transform, so the ~2^-12 approx error is
-                # far below the dot noise already accepted here
-                d = lamyx_ref[:] + lamz_ref[wz, k]
-                Cqs.append(Cq * pl.reciprocal(d, approx=not interpret))
+                # eigen scale: lamyx_ref holds PRE-INVERTED per-window-type
+                # denominators 1/(λy⊕λx + λz[k]) (host-side, exact) — one
+                # vreg mult instead of broadcast-add + divide per k
+                Cqs.append(Cq * lamyx_ref[wz, k * my_e : (k + 1) * my_e])
             if f_cut <= 3:
                 for s in range(p):
-                    out_ref[s] = Cqs[s % m][:, :nx].astype(f32)
+                    out_ref[s] = Cqs[s % m][:ny, :nx].astype(f32)
                 return
             Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dt),
                          prec_f)
             if f_cut <= 4:
                 for s in range(p):
-                    out_ref[s] = Y_cat[:, :nx].astype(f32)
+                    out_ref[s] = Y_cat[:ny, :nx].astype(f32)
                 return
+            # accumulate the m z-back-transform contributions in VALUES and
+            # write each output plane ONCE: the per-k `out_ref[s] +=` form
+            # cost m·(p+1) VMEM read-modify-writes per grid step (measured
+            # +4.5 us/gridstep with the Z dots; the whole F budget is ~8)
+            accs = [None] * m
             for k in range(m):
                 Z = _dot(Y_cat[:, k * mx : (k + 1) * mx].astype(dt),
                          gxtT_ref[:], prec_f)
-                for s in range(p):
-                    if k == 0:
-                        out_ref[s] = xr[xslot, s] + omega * (
-                            vzb_ref[wz, s, k] * Z)
-                    else:
-                        out_ref[s] += omega * (vzb_ref[wz, s, k] * Z)
-                if k == 0:
-                    carry[1] = vzb_ref[wz, m - 1, k] * Z
-                else:
-                    carry[1] += vzb_ref[wz, m - 1, k] * Z
+                for s in range(m):
+                    t = vzb_ref[wz, s, k] * Z
+                    accs[s] = t if accs[s] is None else accs[s] + t
+            for s in range(p):
+                out_ref[s] = xr[xslot, s] + omega * accs[s]
+            carry[1] = accs[m - 1]
 
             @pl.when(w > 0)
             def _():
@@ -400,7 +456,8 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                   gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
                   out_ref, *scratch,
                   m: int, p: int, n_win: int, n_chain: int, bdepth: int,
-                  x_dense: bool = True, interpret: bool = False,
+                  x_dense: bool = True, x_fused: bool = False,
+                  f_stack: bool = False, interpret: bool = False,
                   prec_a: str = "highest", prec_f: str = "highest",
                   stages: str = "PAF"):
     """S = n_chain fused smoother steps in ONE pass over HBM.
@@ -459,7 +516,12 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
             for t in range(p):
                 xr[slot, t] = planes[t]
             X4 = jnp.concatenate(planes, axis=0)
-            if x_dense:
+            if x_dense and x_fused:
+                nxp_ = x3_ref.shape[2]
+                axkx = _dot(X4, dmx_ref[:], prec_a)
+                ax = axkx[:, :nxp_]
+                kx = axkx[:, nxp_:]
+            elif x_dense:
                 ax = _dot(X4, dmx_ref[:], prec_a)
                 kx = _dot(X4, dkx_ref[:], prec_a)
             else:
@@ -516,27 +578,46 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                 Ts.append(T)
             B_cat = _dot(gy_ref[:], jnp.concatenate(Ts, axis=1).astype(dt),
                          prec_f)
-            Cqs = []
+            my_e = gy_ref.shape[0]
+            if f_stack:
+                # k-stacked x transforms (see _kernel's F-stage)
+                Bs = jnp.concatenate(
+                    [B_cat[:, k * nx : (k + 1) * nx] for k in range(m)],
+                    axis=0)
+                Cq_all = _dot(Bs.astype(dt), gxT_ref[:], prec_f)
+                Cq_all = Cq_all * lamyx_ref[wz]
+                Cq_cat = jnp.concatenate(
+                    [Cq_all[k * my_e : (k + 1) * my_e] for k in range(m)],
+                    axis=1)
+                Y_cat = _dot(gyt_ref[:], Cq_cat.astype(dt), prec_f)
+                Ys = jnp.concatenate(
+                    [Y_cat[:, k * mx : (k + 1) * mx] for k in range(m)],
+                    axis=0)
+                Z_all = _dot(Ys.astype(dt), gxtT_ref[:], prec_f)
+                Zs = [Z_all[k * ny : (k + 1) * ny] for k in range(m)]
+            else:
+                Cqs = []
+                for k in range(m):
+                    Cq = _dot(B_cat[:, k * nx: (k + 1) * nx].astype(dt),
+                              gxT_ref[:], prec_f)
+                    # lamyx_ref holds PRE-INVERTED per-window-type
+                    # denominators 1/(λy⊕λx + λz[k]), k-stacked rows
+                    Cqs.append(Cq * lamyx_ref[wz,
+                                              k * my_e : (k + 1) * my_e])
+                Y_cat = _dot(gyt_ref[:],
+                             jnp.concatenate(Cqs, axis=1).astype(dt), prec_f)
+                Zs = [_dot(Y_cat[:, k * mx: (k + 1) * mx].astype(dt),
+                           gxtT_ref[:], prec_f) for k in range(m)]
+            # single-write output accumulation (see _kernel's F-stage)
+            accs = [None] * m
             for k in range(m):
-                Cq = _dot(B_cat[:, k * nx: (k + 1) * nx].astype(dt),
-                          gxT_ref[:], prec_f)
-                d = lamyx_ref[:] + lamz_ref[wz, k]
-                Cqs.append(Cq * pl.reciprocal(d, approx=not interpret))
-            Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dt),
-                         prec_f)
-            for k in range(m):
-                Z = _dot(Y_cat[:, k * mx: (k + 1) * mx].astype(dt),
-                         gxtT_ref[:], prec_f)
-                for t2 in range(p):
-                    if k == 0:
-                        tgt[t2] = xr[xslot, t2] + omega * (
-                            vzb_ref[wz, t2, k] * Z)
-                    else:
-                        tgt[t2] += omega * (vzb_ref[wz, t2, k] * Z)
-                if k == 0:
-                    carry[1] = vzb_ref[wz, m - 1, k] * Z
-                else:
-                    carry[1] += vzb_ref[wz, m - 1, k] * Z
+                Z = Zs[k]
+                for t2 in range(m):
+                    t = vzb_ref[wz, t2, k] * Z
+                    accs[t2] = t if accs[t2] is None else accs[t2] + t
+            for t2 in range(p):
+                tgt[t2] = xr[xslot, t2] + omega * accs[t2]
+            carry[1] = accs[m - 1]
 
             @pl.when(w > 0)
             def _():
@@ -558,7 +639,8 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                               "stages"))
 def _call_chain(x, b, omegas, tables, shape, n_chain,
                 prec=("highest", "highest"), interpret=False, stages="PAF"):
-    ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack = shape
+    (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
+     f_stack) = shape
     assert n_wy == 0 and y_banded and p_stack, \
         "chain kernel supports the production configuration only"
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
@@ -567,7 +649,8 @@ def _call_chain(x, b, omegas, tables, shape, n_chain,
     bdepth = 4 if S <= 2 else 8
     kern = functools.partial(
         _kernel_chain, m=m, p=p, n_win=n_win, n_chain=S, bdepth=bdepth,
-        x_dense=bool(x_dense), interpret=bool(interpret),
+        x_dense=bool(x_dense), x_fused=bool(x_fused),
+        f_stack=bool(f_stack), interpret=bool(interpret),
         prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -617,12 +700,15 @@ def _call_chain(x, b, omegas, tables, shape, n_chain,
                    static_argnames=("shape", "prec", "interpret", "stages"))
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False, stages="PAF"):
-    ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack = shape
+    (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
+     f_stack) = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
-                             p_stack=bool(p_stack), interpret=bool(interpret),
+                             p_stack=bool(p_stack), x_fused=bool(x_fused),
+                             f_stack=bool(f_stack),
+                             interpret=bool(interpret),
                              prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -684,6 +770,7 @@ class SmootherStepKernel:
                  y_apply: str = "banded", p_stack: bool = True,
                  precision_a: str = "high",
                  precision_f: str = "bf16",
+                 f_stack: bool = False,
                  n_chain: int = 1):
         # transform_dtype bf16: numerically IDENTICAL to f32 storage (the
         # F-path dots round both operands to bf16 anyway) but halves the
@@ -780,6 +867,13 @@ class SmootherStepKernel:
                 dkx[k, rows[okc]] = Kxf[rows[okc], cols[okc]]
         self._p_stack = bool(p_stack and y_apply == "banded"
                              and self._n_wy == 0)
+        # fused x-tables: M̂ₓᵀ|K̂ₓᵀ side by side — one double-width MXU dot
+        # instead of two per P-stage (same MACs, half the dot calls)
+        self._x_fused = bool(self._p_stack and x_apply == "dense")
+        self._f_stack = bool(f_stack and self._n_wy == 0)
+        if self._x_fused:
+            dmx = np.concatenate([dmx, dkx], axis=1)
+            dkx = np.zeros((8, 128), np.float32)  # unused placeholder
         if y_apply == "banded":
             # column tables D[r, k] = M[r, r + k − p]; zeros kill wrapped
             # sublane rows and the y padding
@@ -889,7 +983,29 @@ class SmootherStepKernel:
             # node axes trimmed to the working grid (last column/row zero)
             gy_t = jnp.asarray(padc(Gy[:, :nyt], nyp), tdt)
             gyt_t = jnp.asarray(padr(Gyt[:nyt], nyp), tdt)
-            lamyx_t = jnp.asarray(ly[:, None] + lx[None, :])
+            # pre-inverted eigen denominators per z-window TYPE (U <= 3 on
+            # uniform meshes): rec[u, k] = 1/(λy⊕λx + λz[u, k]) — the F-stage
+            # scale becomes one vreg mult (no divide, no broadcast add).
+            # Stored k-STACKED along sublanes (U, m·my, mx) so the f_stack
+            # path can scale the stacked Cq block with one table read; the
+            # per-k path takes static row slices of the same layout.
+            rec = 1.0 / (ly[None, None, :, None] + lx[None, None, None, :]
+                         + lamz_u[:, :, None, None])
+            lamyx_t = jnp.asarray(
+                rec.astype(np.float32).reshape(U, m * len(ly), len(lx)))
+        # eigen-x dimension padded to a lane tile (zeros): the f_stack path
+        # takes lane slices of Y_cat at multiples of mx, which Mosaic only
+        # concatenates when 128-aligned (padding costs ~(mxp/mx−1) extra MXU
+        # columns, all zero)
+        gxT_m = padr(Gx.T[:nxt], nxp)
+        gxtT_m = padc(Gxt.T[:, :nxt], nxp)
+        if self._n_wy == 0:
+            mxp = -(-gxT_m.shape[1] // 128) * 128
+            gxT_m = np.pad(gxT_m, ((0, 0), (0, mxp - gxT_m.shape[1])))
+            gxtT_m = np.pad(gxtT_m, ((0, mxp - gxtT_m.shape[0]), (0, 0)))
+            lam_np = np.asarray(lamyx_t)
+            lamyx_t = jnp.asarray(np.pad(
+                lam_np, ((0, 0), (0, 0), (0, mxp - lam_np.shape[2]))))
         self.tables = (
             jnp.asarray(kid.astype(np.int32)), jnp.asarray(zid.astype(np.int32)),
             jnp.asarray(kzr_u), jnp.asarray(mzr_u),
@@ -898,13 +1014,14 @@ class SmootherStepKernel:
             jnp.asarray(dmx), jnp.asarray(dkx),
             jnp.asarray(my_m), jnp.asarray(ky_m),
             gy_t, gyt_t,
-            jnp.asarray(padr(Gx.T[:nxt], nxp), tdt),
-            jnp.asarray(padc(Gxt.T[:, :nxt], nxp), tdt),
+            jnp.asarray(gxT_m, tdt),
+            jnp.asarray(gxtT_m, tdt),
             lamyx_t,
         )
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
                       int(x_apply == "dense"), int(y_apply == "banded"),
-                      int(self._p_stack))
+                      int(self._p_stack), int(self._x_fused),
+                      int(self._f_stack))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.trim_shape = (nzt, nyt, nxt)

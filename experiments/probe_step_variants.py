@@ -24,6 +24,9 @@ VARIANTS = {
     "chain3": {"n_chain": 3},
     "chain4": {"n_chain": 4},
     "chain2+xband": {"n_chain": 2, "x_apply": "banded"},
+    "fstack": {"f_stack": True},
+    "chain2+fstack": {"n_chain": 2, "f_stack": True},
+    "chain4+fstack": {"n_chain": 4, "f_stack": True},
 }
 
 
