@@ -449,8 +449,9 @@ class MergedDDVmultKernel:
     def _expand(self, g):
         g = jnp.take(g, self._iy, axis=1)
         g = jnp.take(g, self._ix, axis=2)
-        # zero the padding lanes/rows (expansion clamps to the last node;
-        # forward tables are zero there, but keep the data clean)
+        # NOTE: padding lanes/rows hold CLAMPED COPIES of the last node (the
+        # expansion gather clamps); they are neutralized by the zero columns
+        # of the forward window tables, not zeroed here
         return g
 
     def _compact_dd(self, vh, vl):
@@ -482,8 +483,6 @@ class MergedDDVmultKernel:
         nz, ny, nx = self.grid_shape
         p, m = self.p, self.m
         cz = self.n_cells_zyx[0]
-        from jax._src.config import enable_x64 as _enable_x64
-
         from jax._src.config import enable_x64 as _enable_x64
 
         with _enable_x64(False):

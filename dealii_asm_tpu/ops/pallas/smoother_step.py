@@ -144,7 +144,7 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False, p_stack: bool = False,
             x_fused: bool = False, f_stack: bool = False,
-            interpret: bool = False,
+            z_bf16: bool = False, interpret: bool = False,
             prec_a: str = "highest", prec_f: str = "highest",
             stages: str = "PAF"):
     # `stages` is a PROFILING knob (subset of "PAF"): dropping a letter skips
@@ -194,10 +194,28 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             # contamination is killed by the tables' per-plane edge zeros
             # (col outside [0, ny) ⇒ zero entry — same guard as the wrap).
             ny = x3_ref.shape[1]
-            for t in range(p):
-                xr[slot, t] = x3_ref[t]
-            X4 = jnp.concatenate([x3_ref[t] for t in range(p)], axis=0)
-            if x_dense and x_fused:
+            # ONE block read feeds both the x ring and the stacked operand
+            # (the per-plane form re-read the block 2x from VMEM)
+            x_all = x3_ref[...]
+            xr[slot] = x_all
+            X4 = jnp.concatenate([x_all[t] for t in range(p)], axis=0)
+            if x_dense and x_fused and prec_a == "high":
+                # M̂ₓᵀ|K̂ₓᵀ pre-split HOST-SIDE into bf16 hi (dmx) and lo
+                # (dkx) tables: the runtime table split cost 2 VPU passes
+                # over the f32 table per grid step; numerically identical
+                # ("high" = ah·bh + ah·bl + al·bh either way)
+                f32_ = jnp.float32
+                bf = jnp.bfloat16
+                ah = X4.astype(bf)
+                al = (X4 - ah.astype(f32_)).astype(bf)
+                d = lambda u, v: jax.lax.dot(u, v,
+                                             preferred_element_type=f32_)
+                bh = dmx_ref[...]
+                axkx = d(ah, bh) + (d(ah, dkx_ref[...]) + d(al, bh))
+                nxp_ = x3_ref.shape[2]
+                ax = axkx[:, :nxp_]
+                kx = axkx[:, nxp_:]
+            elif x_dense and x_fused:
                 # M̂ₓᵀ and K̂ₓᵀ side by side in ONE table: halves the MXU
                 # call count of the P-stage (same MACs, one weight pipeline)
                 nxp_ = x3_ref.shape[2]
@@ -260,7 +278,11 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                 term = (kzr_ref[ku, t, j] * p1r[pslot, row]
                         + mzr_ref[ku, t, j] * p2r[pslot, row])
                 acc = term if acc is None else acc + term
-            azr[aslot, t] = b_ref[t] - acc
+            # the r ring is bf16: r only feeds the PRECONDITIONER transforms,
+            # whose dots already round operands to bf16 (prec_f) — storing it
+            # rounded halves the A-write + F-read VMEM traffic at the same
+            # final accuracy
+            azr[aslot, t] = (b_ref[t] - acc).astype(azr.dtype)
 
     # ---- F-stage: FDM + update on z-window w = i−3 -------------------------
     @pl.when((i >= 3) & (i <= n_win + 2) & ("F" in stages))
@@ -272,13 +294,62 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         dt = gy_ref.dtype
         omega = omega_ref[0, 0]
 
+        # hoisted ring reads: ONE (p, ny, nx) block load + one plane load —
+        # calling these inside the k loop emitted m separate loads per plane
+        # (m² plane reads per grid step, the dominant F-stage VMEM traffic)
+        _r_blk = azr[prev]
+        _r_last = azr[cur, 0]
+        _r_planes = [_r_blk[s] for s in range(p)] + [_r_last]
+
         def r_plane(s):  # r at global plane p·w + s
-            return azr[prev, s] if s < p else azr[cur, 0]
+            return _r_planes[s]
 
         xslot = (i + 1) % 4  # block i of x, written by the P-stage at i−3
         ny = x3_ref.shape[1]
         nx = x3_ref.shape[2]
         mx = gxT_ref.shape[1]
+
+        if z_bf16:
+            # z-transform scalar·plane chains in NATIVE bf16: half the vreg
+            # footprint of the F-stage's dominant VPU work; the planes are
+            # already bf16 (r ring) and the downstream dot rounds to bf16
+            # anyway, so only the m-term accumulation order changes
+            _rs = [r_plane(s) for s in range(m)]
+            Ts = []
+            bfdt = _rs[0].dtype
+            for k in range(m):
+                T = vzf_ref[wz, 0, k].astype(bfdt) * _rs[0]
+                for s in range(1, m):
+                    T = T + vzf_ref[wz, s, k].astype(bfdt) * _rs[s]
+                Ts.append(T)
+            B_cat = _dot(gy_ref[:], jnp.concatenate(Ts, axis=1), prec_f)
+            my_e = gy_ref.shape[0]
+            dtv = gy_ref.dtype
+            Cqs = []
+            for k in range(m):
+                Cq = _dot(B_cat[:, k * nx : (k + 1) * nx].astype(dtv),
+                          gxT_ref[:], prec_f)
+                Cqs.append(Cq * lamyx_ref[wz, k * my_e : (k + 1) * my_e])
+            Y_cat = _dot(gyt_ref[:], jnp.concatenate(Cqs, axis=1).astype(dtv),
+                         prec_f)
+            accs = [None] * m
+            for k in range(m):
+                Z = _dot(Y_cat[:, k * mx : (k + 1) * mx].astype(dtv),
+                         gxtT_ref[:], prec_f).astype(bfdt)
+                for s in range(m):
+                    t = vzb_ref[wz, s, k].astype(bfdt) * Z
+                    accs[s] = t if accs[s] is None else accs[s] + t
+            x_blk = xr[xslot]
+            for s in range(p):
+                out_ref[s] = x_blk[s] + omega * accs[s].astype(jnp.float32)
+            carry[1] = accs[m - 1].astype(jnp.float32)
+
+            @pl.when(w > 0)
+            def _():
+                out_ref[0] += omega * carry[0]
+
+            carry[0] = carry[1]
+            return
 
         if n_wy == 0:
             # sub-F profiling cuts: a digit in `stages` truncates the F
@@ -331,8 +402,9 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                     for s in range(m):
                         t = vzb_ref[wz, s, k] * Z
                         accs[s] = t if accs[s] is None else accs[s] + t
+                x_blk = xr[xslot]
                 for s in range(p):
-                    out_ref[s] = xr[xslot, s] + omega * accs[s]
+                    out_ref[s] = x_blk[s] + omega * accs[s]
                 carry[1] = accs[m - 1]
 
                 @pl.when(w > 0)
@@ -370,8 +442,9 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
                 for s in range(m):
                     t = vzb_ref[wz, s, k] * Z
                     accs[s] = t if accs[s] is None else accs[s] + t
+            x_blk = xr[xslot]
             for s in range(p):
-                out_ref[s] = xr[xslot, s] + omega * accs[s]
+                out_ref[s] = x_blk[s] + omega * accs[s]
             carry[1] = accs[m - 1]
 
             @pl.when(w > 0)
@@ -451,16 +524,17 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
 
 
 def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
-                  vzb_ref, omegas_ref, x3_ref, b_ref,
+                  vzb_ref, coef_ref, x3_ref, b_ref,
                   dmx_ref, dkx_ref, my_ref, ky_ref,
                   gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
                   out_ref, *scratch,
                   m: int, p: int, n_win: int, n_chain: int, bdepth: int,
+                  cheby: bool = False, zero_x: bool = False,
                   x_dense: bool = True, x_fused: bool = False,
                   f_stack: bool = False, interpret: bool = False,
                   prec_a: str = "highest", prec_f: str = "highest",
                   stages: str = "PAF"):
-    """S = n_chain fused smoother steps in ONE pass over HBM.
+    """S = n_chain fused smoother sub-steps in ONE pass over HBM.
 
     Each sub-step s runs the same P/A/F pipeline as _kernel, lagged 3 grid
     steps behind sub-step s−1; the intermediate iterate never touches HBM —
@@ -469,10 +543,21 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
     loop emits F_{s−1} before P_s).  b is read once and ring-buffered for
     the later sub-steps.  DMA per chain: read x, read b, write out — the
     same 3 streams one step costs, so the per-step stream floor drops ~S×.
-    This is the production smoothing shape (a Chebyshev/Richardson sweep is
-    a chain of such steps on one b); reference analog: the fused pre/post
-    vector-operation ranges of matrix_free.h:1007-1364 applied across a
-    whole smoother sweep instead of one operator application.
+    This is the production smoothing shape; reference analog: the fused
+    pre/post vector-operation ranges of matrix_free.h:1007-1364 applied
+    across a whole smoother sweep instead of one operator application.
+
+    Sub-step recurrence (coef_ref rows (f1_s, f2_s)):
+        p_s = f1_s·p_{s−1} + f2_s·M(b − A x_{s−1}),   x_s = x_{s−1} + p_s
+    ``cheby=False`` is plain chained Richardson (f1 ≡ 0, f2 = ω_s; no
+    momentum stream).  ``cheby=True`` carries the momentum planes p_s
+    through per-sub-step VMEM rings — this IS deal.II's Chebyshev iteration
+    (both 1st and 4th kind reduce to this two-term form), so a degree-k
+    smoother apply becomes ONE kernel launch.
+    ``zero_x=True`` starts from x = 0: sub-step 0 skips its P/A pipeline
+    entirely (r ≡ b — the classic zero-guess optimization) and the x input
+    is never read (its block spec pins a constant block, so the x HBM
+    stream disappears: a whole zero-guess vmult reads b and writes x only).
 
     Sub-step stage windows at grid step i (base = 3s):
       P_s: window w = i−base        (reads x3_ref if s==0 else ystage)
@@ -486,16 +571,19 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
     S = n_chain
     bring = scratch[0]
     ystage = scratch[1]
-    subs = [tuple(scratch[2 + 5 * s: 7 + 5 * s]) for s in range(S)]
+    nsc = 6 if cheby else 5
+    subs = [tuple(scratch[2 + nsc * s: 2 + nsc * (s + 1)]) for s in range(S)]
 
     @pl.when(i == 0)
     def _():
         for s in range(S):
-            p1r, p2r, azr, carry, xr = subs[s]
+            p1r, p2r, azr, carry, xr = subs[s][:5]
             p1r[...] = jnp.zeros_like(p1r)
             p2r[...] = jnp.zeros_like(p2r)
             azr[...] = jnp.zeros_like(azr)
             carry[...] = jnp.zeros_like(carry)
+            if cheby:
+                subs[s][5][...] = jnp.zeros_like(subs[s][5])
 
     ny = x3_ref.shape[1]
     nx = x3_ref.shape[2]
@@ -503,20 +591,44 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
 
     for s in range(S):
         base = 3 * s
-        p1r, p2r, azr, carry, xr = subs[s]
+        p1r, p2r, azr, carry, xr = subs[s][:5]
+        pring = subs[s][5] if cheby else None
+        pring_prev = subs[s - 1][5] if (cheby and s > 0) else None
         last = s == S - 1
+        skip_pa = zero_x and s == 0
+
+        if skip_pa:
+            # sub-step 0 from x = 0: r ≡ b — no P_0/A_0; just stage b into
+            # the ring at A_0's cadence for F_0 and the later sub-steps
+            @pl.when((i >= 2) & (i <= n_win + 2) & ("A" in stages))
+            def _():
+                bring[(i - 2) % bdepth] = b_ref[...]
 
         # ---- P_s: in-plane transforms of the sub-step's iterate ----------
-        @pl.when((i >= base) & (i <= base + n_win) & ("P" in stages))
+        @pl.when((i >= base) & (i <= base + n_win) & ("P" in stages)
+                 & bool(not skip_pa))
         def _(s=s, base=base, p1r=p1r, p2r=p2r, xr=xr):
+            if skip_pa:
+                return
             w = i - base
             slot = w % 4
-            planes = ([x3_ref[t] for t in range(p)] if s == 0
-                      else [ystage[t] for t in range(p)])
-            for t in range(p):
-                xr[slot, t] = planes[t]
-            X4 = jnp.concatenate(planes, axis=0)
-            if x_dense and x_fused:
+            x_all = x3_ref[...] if s == 0 else ystage[...]
+            xr[slot] = x_all
+            X4 = jnp.concatenate([x_all[t] for t in range(p)], axis=0)
+            if x_dense and x_fused and prec_a == "high":
+                # pre-split bf16 hi/lo tables (see _kernel's P-stage)
+                f32_ = jnp.float32
+                bf = jnp.bfloat16
+                ah = X4.astype(bf)
+                al = (X4 - ah.astype(f32_)).astype(bf)
+                d = lambda u, v: jax.lax.dot(u, v,
+                                             preferred_element_type=f32_)
+                bh = dmx_ref[...]
+                axkx = d(ah, bh) + (d(ah, dkx_ref[...]) + d(al, bh))
+                nxp_ = x3_ref.shape[2]
+                ax = axkx[:, :nxp_]
+                kx = axkx[:, nxp_:]
+            elif x_dense and x_fused:
                 nxp_ = x3_ref.shape[2]
                 axkx = _dot(X4, dmx_ref[:], prec_a)
                 ax = axkx[:, :nxp_]
@@ -535,8 +647,10 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
 
         # ---- A_s: residual rows ------------------------------------------
         @pl.when((i >= base + 2) & (i <= base + n_win + 2)
-                 & ("A" in stages))
+                 & ("A" in stages) & bool(not skip_pa))
         def _(s=s, base=base, p1r=p1r, p2r=p2r, azr=azr):
+            if skip_pa:
+                return
             w2 = i - base - 2
             ku = kid_ref[w2]
             aslot = w2 % 2
@@ -554,20 +668,33 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                         bring[w2 % bdepth, t] = bt
                 else:
                     bt = bring[w2 % bdepth, t]
-                azr[aslot, t] = bt - acc
+                azr[aslot, t] = (bt - acc).astype(azr.dtype)
 
         # ---- F_s: FDM apply + update -------------------------------------
         @pl.when((i >= base + 3) & (i <= base + n_win + 2)
                  & ("F" in stages))
-        def _(s=s, base=base, azr=azr, carry=carry, xr=xr, last=last):
+        def _(s=s, base=base, azr=azr, carry=carry, xr=xr, last=last,
+              pring=pring, pring_prev=pring_prev, skip_pa=skip_pa):
             w = i - base - 3
             wz = zid_ref[w]
-            omega = omegas_ref[s, 0]
+            f1 = coef_ref[s, 0]
+            f2 = coef_ref[s, 1]
             dt = gy_ref.dtype
             tgt = out_ref if last else ystage
 
+            # hoisted ring reads (see _kernel's F-stage); with the zero-x
+            # sub-step the residual IS b, staged in the b ring
+            if skip_pa:
+                _r_blk = bring[w % bdepth]
+                _r_planes = ([_r_blk[t] for t in range(p)]
+                             + [bring[(w + 1) % bdepth, 0]])
+            else:
+                _r_blk = azr[w % 2]
+                _r_planes = ([_r_blk[t] for t in range(p)]
+                             + [azr[(w + 1) % 2, 0]])
+
             def r_plane(t):
-                return azr[w % 2, t] if t < p else azr[(w + 1) % 2, 0]
+                return _r_planes[t]
 
             xslot = w % 4
             Ts = []
@@ -615,40 +742,80 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                 for t2 in range(m):
                     t = vzb_ref[wz, t2, k] * Z
                     accs[t2] = t if accs[t2] is None else accs[t2] + t
-            for t2 in range(p):
-                tgt[t2] = xr[xslot, t2] + omega * accs[t2]
+            # momentum recurrence: p_s = f1·p_{s−1} + f2·Mr (f1 term only on
+            # cheby sub-steps > 0; the previous momentum planes are COMPLETE
+            # — F_{s−1} fixed their shared plane up 3 grid steps ago)
+            if pring_prev is not None:
+                pp = pring_prev[w % 4]
+                pn = [f1 * pp[t2] + f2 * accs[t2] for t2 in range(p)]
+            else:
+                pn = [f2 * accs[t2] for t2 in range(p)]
+            if skip_pa:
+                for t2 in range(p):
+                    tgt[t2] = pn[t2]
+            else:
+                x_blk = xr[xslot]
+                for t2 in range(p):
+                    tgt[t2] = x_blk[t2] + pn[t2]
+            if pring is not None and not last:
+                for t2 in range(p):
+                    pring[w % 4, t2] = pn[t2]
             carry[1] = accs[m - 1]
 
             @pl.when(w > 0)
             def _():
-                tgt[0] += omega * carry[0]
+                # the shared plane p·w is missing window (w−1)'s Mr tail:
+                # add f2·carry to the iterate AND to the stored momentum
+                c = f2 * carry[0]
+                tgt[0] += c
+                if pring is not None and not last:
+                    pring[w % 4, 0] += c
 
             carry[0] = carry[1]
 
         # ---- cleanup_s: flush the final shared plane ----------------------
         @pl.when(i == base + n_win + 3)
-        def _(s=s, carry=carry, xr=xr, last=last):
+        def _(s=s, carry=carry, xr=xr, last=last, pring=pring,
+              pring_prev=pring_prev, skip_pa=skip_pa):
             tgt = out_ref if last else ystage
-            tgt[0] = xr[n_win % 4, 0] + omegas_ref[s, 0] * carry[0]
+            f1 = coef_ref[s, 0]
+            f2 = coef_ref[s, 1]
+            c = f2 * carry[0]
+            if pring_prev is not None:
+                c += f1 * pring_prev[n_win % 4, 0]
+            if skip_pa:
+                tgt[0] = c
+            else:
+                tgt[0] = xr[n_win % 4, 0] + c
+            # NO pring write here: slot n_win%4 still holds window n_win−4's
+            # momentum, read by F_{s+1} two grid steps later; the flushed
+            # plane p·n_win lies beyond the trimmed grid (its momentum is
+            # only ever read by the NEXT cleanup, which is junk-tolerant —
+            # everything at that plane is sliced away / table-masked)
             for t in range(1, p):
                 tgt[t] = jnp.zeros_like(tgt[t])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "n_chain", "prec", "interpret",
-                              "stages"))
-def _call_chain(x, b, omegas, tables, shape, n_chain,
-                prec=("highest", "highest"), interpret=False, stages="PAF"):
+    jax.jit, static_argnames=("shape", "n_chain", "cheby", "zero_x", "prec",
+                              "interpret", "stages"))
+def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
+                zero_x=False, prec=("highest", "highest"), interpret=False,
+                stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack) = shape
+     f_stack, z_bf16) = shape
     assert n_wy == 0 and y_banded and p_stack, \
         "chain kernel supports the production configuration only"
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     S = int(n_chain)
-    bdepth = 4 if S <= 2 else 8
+    # A_0 writes the b ring at grid step i (row w2 = i−2); sub-step s reads
+    # that row 3·s grid steps LATER, so slot reuse needs bdepth > 3·(S−1)
+    # (bdepth=8 at S=4 silently served overwritten b blocks)
+    bdepth = max(4, 3 * (S - 1) + 1)
     kern = functools.partial(
         _kernel_chain, m=m, p=p, n_win=n_win, n_chain=S, bdepth=bdepth,
+        cheby=bool(cheby), zero_x=bool(zero_x),
         x_dense=bool(x_dense), x_fused=bool(x_fused),
         f_stack=bool(f_stack), interpret=bool(interpret),
         prec_a=prec[0], prec_f=prec[1], stages=stages)
@@ -661,17 +828,26 @@ def _call_chain(x, b, omegas, tables, shape, n_chain,
     for _s in range(S):
         scratch += [pltpu.VMEM((4, p, ny, nx), jnp.float32),   # P1 ring
                     pltpu.VMEM((4, p, ny, nx), jnp.float32),   # P2 ring
-                    pltpu.VMEM((2, p, ny, nx), jnp.float32),   # r ring
+                    pltpu.VMEM((2, p, ny, nx), jnp.bfloat16),  # r ring
                     pltpu.VMEM((2, ny, nx), jnp.float32),      # carry
                     pltpu.VMEM((4, p, ny, nx), jnp.float32)]   # x ring
+        if cheby:
+            scratch += [pltpu.VMEM((4, p, ny, nx), jnp.float32)]  # momentum
+    if zero_x:
+        # x is never read: pin its block spec to a constant block so the
+        # pipeline fetches it once — the x HBM stream disappears
+        x_spec = pl.BlockSpec(blk, lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec(blk, lambda i: (i + F, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_win + 3 * S + 1,),
         in_specs=[
             smem, smem,
             smem, smem, smem, smem, smem, smem,
-            pl.BlockSpec(blk, lambda i: (i + F, 0, 0),
-                         memory_space=pltpu.VMEM),        # x: P_0 planes
+            x_spec,                                       # x: P_0 planes
             pl.BlockSpec(blk, lambda i: (i + F - 2, 0, 0),
                          memory_space=pltpu.VMEM),        # b: A_0 rows
             vmem, vmem, vmem, vmem,
@@ -692,7 +868,7 @@ def _call_chain(x, b, omegas, tables, shape, n_chain,
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
-        )(kid, zid, kzr, mzr, lamz, vzf, vzb, omegas, x, b,
+        )(kid, zid, kzr, mzr, lamz, vzf, vzb, coef, x, b,
           dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
 
 
@@ -701,13 +877,13 @@ def _call_chain(x, b, omegas, tables, shape, n_chain,
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False, stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack) = shape
+     f_stack, z_bf16) = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
                              p_stack=bool(p_stack), x_fused=bool(x_fused),
-                             f_stack=bool(f_stack),
+                             f_stack=bool(f_stack), z_bf16=bool(z_bf16),
                              interpret=bool(interpret),
                              prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
@@ -736,7 +912,7 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
         scratch_shapes=[
             pltpu.VMEM((4, p, ny, nx), jnp.float32),     # P1 ring
             pltpu.VMEM((4, p, ny, nx), jnp.float32),     # P2 ring
-            pltpu.VMEM((2, p, ny, nx), jnp.float32),     # r ring
+            pltpu.VMEM((2, p, ny, nx), jnp.bfloat16),    # r ring (see A-stage)
             pltpu.VMEM((2, ny, nx), jnp.float32),        # FDM carry planes
             pltpu.VMEM((4, p, ny, nx), jnp.float32),     # x plane ring
         ],
@@ -771,6 +947,7 @@ class SmootherStepKernel:
                  precision_a: str = "high",
                  precision_f: str = "bf16",
                  f_stack: bool = False,
+                 z_bf16: bool = False,
                  n_chain: int = 1):
         # transform_dtype bf16: numerically IDENTICAL to f32 storage (the
         # F-path dots round both operands to bf16 anyway) but halves the
@@ -816,6 +993,15 @@ class SmootherStepKernel:
         # caller's x (out = x at constrained nodes).
         nzt, nyt, nxt = nz - 1, ny - 1, nx - 1
         assert nzt == n_win * p, (nzt, n_win, p)
+        # the trim assumes the first/last node plane per axis is Dirichlet-
+        # constrained — verify against the DoF handler's actual mask instead
+        # of silently mis-smoothing a future non-all-Dirichlet configuration
+        bm = np.asarray(dofs.boundary_mask).reshape(nz, ny, nx)
+        if not (bm[0].all() and bm[-1].all() and bm[:, 0].all()
+                and bm[:, -1].all() and bm[..., 0].all()
+                and bm[..., -1].all()):
+            raise ValueError("SmootherStepKernel: boundary trim requires "
+                             "all-Dirichlet box boundaries")
         if fdm_y == "windowed":
             # y padded so plane rows reshape into (nyp/p, p) window slots and
             # the padded window count stays in range
@@ -873,7 +1059,14 @@ class SmootherStepKernel:
         self._f_stack = bool(f_stack and self._n_wy == 0)
         if self._x_fused:
             dmx = np.concatenate([dmx, dkx], axis=1)
-            dkx = np.zeros((8, 128), np.float32)  # unused placeholder
+            if precision_a == "high":
+                # pre-split the fused table into bf16 hi/lo halves host-side
+                # (dkx carries the lo half) — see the kernel's P-stage
+                hi = dmx.astype(jnp.bfloat16)
+                dkx = (dmx - hi.astype(np.float32)).astype(jnp.bfloat16)
+                dmx = hi
+            else:
+                dkx = np.zeros((8, 128), np.float32)  # unused placeholder
         if y_apply == "banded":
             # column tables D[r, k] = M[r, r + k − p]; zeros kill wrapped
             # sublane rows and the y padding
@@ -1021,7 +1214,8 @@ class SmootherStepKernel:
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
                       int(x_apply == "dense"), int(y_apply == "banded"),
                       int(self._p_stack), int(self._x_fused),
-                      int(self._f_stack))
+                      int(self._f_stack),
+                      int(z_bf16 and self._n_wy == 0))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.trim_shape = (nzt, nyt, nxt)
@@ -1039,6 +1233,28 @@ class SmootherStepKernel:
         self._pad = ((self._front,
                       (n_win + 6 * S + 1) * p - nzt - self._front),
                      (0, nyp - nyt), (0, nxp - nxt))
+
+    def as_chain(self, n_chain: int) -> "SmootherStepKernel":
+        """A chain-kernel VIEW of this kernel: shares every baked table,
+        only the padded layout (front pad = 3·S blocks) differs.  Cheap —
+        use it to serve several sweep lengths from one table build
+        (production smoothers need S and S−1: step() vs vmult())."""
+        import copy
+
+        S = int(n_chain)
+        if S > 1 and (self._n_wy or not self.shape[7] or not self._p_stack):
+            raise ValueError("n_chain > 1 requires the production "
+                             "configuration (banded-y p-stack, dense G)")
+        k = copy.copy(self)
+        k.n_chain = S
+        nyp, nxp = self.shape[0], self.shape[1]
+        n_win = self.shape[4]
+        nzt, nyt, nxt = self.trim_shape
+        p = self.p
+        k._front = 3 * S * p
+        k._pad = ((k._front, (n_win + 6 * S + 1) * p - nzt - k._front),
+                  (0, nyp - nyt), (0, nxp - nxt))
+        return k
 
     def pad_grid(self, g):
         """(nz, ny, nx) grid -> the kernel's padded layout (boundary-trimmed:
@@ -1074,8 +1290,27 @@ class SmootherStepKernel:
         that of a single step (read x, read b, write out); the intermediate
         iterates live in VMEM only (_kernel_chain)."""
         om = jnp.asarray(omegas, jnp.float32).reshape(self.n_chain, 1)
-        return _call_chain(xp, bp, om, self.tables, self.shape,
+        coef = jnp.concatenate([jnp.zeros_like(om), om], axis=1)
+        return _call_chain(xp, bp, coef, self.tables, self.shape,
                            n_chain=self.n_chain, prec=self.precisions,
+                           interpret=interpret, stages=stages)
+
+    def sweep_padded(self, xp, bp, coefs, zero_x=False, interpret=False,
+                     stages="PAF"):
+        """n_chain MOMENTUM sub-steps in ONE HBM pass (padded layout):
+
+            p_s = f1_s·p_{s−1} + f2_s·M(b − A x_{s−1}),   x_s = x_{s−1} + p_s
+
+        with coefs rows (f1_s, f2_s).  This is deal.II's Chebyshev iteration
+        (1st kind: f2 from the rho recurrence; 4th kind: the Lottes factors),
+        so a degree-k smoother apply is ONE kernel launch.  zero_x starts
+        from x = 0: sub-step 0 skips its residual pipeline and xp is never
+        read (pass bp as the shape donor) — the whole zero-guess vmult then
+        streams b in and x' out only."""
+        coef = jnp.asarray(coefs, jnp.float32).reshape(self.n_chain, 2)
+        return _call_chain(xp, bp, coef, self.tables, self.shape,
+                           n_chain=self.n_chain, cheby=True,
+                           zero_x=bool(zero_x), prec=self.precisions,
                            interpret=interpret, stages=stages)
 
     def step_grids(self, xg, bg, omega=1.0, interpret=False):

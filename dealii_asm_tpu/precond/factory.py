@@ -89,6 +89,40 @@ def _try_attach_fused_step(smoother, op, inner, log=_noop_log):
     smoother.fused_step = lambda x, b, om: kern.step(x, b, om)
     log("    - fused step:  pallas\n")
 
+    # fully-fused degree-k sweeps (momentum chain kernel): a whole
+    # Chebyshev/relaxation smoother apply in ONE kernel launch; the
+    # zero-guess form additionally drops the x HBM stream.  VMEM bounds the
+    # chain depth (per-sub-step rings) — degrees above 4 keep the per-step
+    # path.  Reference analog: the fused vector-operation ranges applied
+    # across the whole sweep (matrix_free.h:420-532).
+    degree = int(getattr(smoother, "degree", 0)
+                 or getattr(smoother, "n_iterations", 0))
+    if 2 <= degree <= 4 and hasattr(smoother, "sweep_coefficients"):
+        try:
+            ck = kern.as_chain(degree)
+        except ValueError:
+            return
+        coefs = tuple(map(tuple, smoother.sweep_coefficients()))
+        nz, ny, nx = kern.grid_shape
+
+        def fused_sweep(x, b, _ck=ck, _coefs=coefs, _s=(nz, ny, nx)):
+            xg = x.reshape(_s)
+            out = _ck.unpad_grid(
+                _ck.sweep_padded(_ck.pad_grid(xg),
+                                 _ck.pad_grid(b.reshape(_s)), _coefs),
+                full_src=xg)
+            return out.reshape(-1)
+
+        def fused_sweep_zero(b, _ck=ck, _coefs=coefs, _s=(nz, ny, nx)):
+            bp = _ck.pad_grid(b.reshape(_s))
+            out = _ck.unpad_grid(
+                _ck.sweep_padded(bp, bp, _coefs, zero_x=True))
+            return out.reshape(-1)
+
+        smoother.fused_sweep = fused_sweep
+        smoother.fused_sweep_zero = fused_sweep_zero
+        log(f"    - fused sweep: pallas momentum chain (degree {degree})\n")
+
 
 def _require_pallas() -> bool:
     import os
@@ -195,8 +229,7 @@ def create_system_preconditioner(op, params: dict, log=_noop_log):
             log("    - (ev estimates are start-vector-ordering dependent;"
                 " iteration counts are the pinned contract)\n")
         cheb.is_symmetric = sym
-        if cheb.degree == 1:
-            _try_attach_fused_step(cheb, op, inner, log)
+        _try_attach_fused_step(cheb, op, inner, log)
         return cheb
 
     raise ValueError(f"Preconditioner <{ptype}> is not known!")

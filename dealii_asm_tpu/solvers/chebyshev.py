@@ -100,6 +100,33 @@ def estimate_eigenvalues(A, n_dofs: int, M=None, constrained_mask=None,
     return EigenvalueInfo(lam, 1.2 * lam, its)
 
 
+def chebyshev_sweep_coefficients(degree, theta, delta, polynomial_type,
+                                 lam_max=None):
+    """(f1_s, f2_s) rows of the two-term smoother recurrence
+
+        p_s = f1_s·p_{s−1} + f2_s·M(b − A x_{s−1}),   x_s = x_{s−1} + p_s
+
+    for a degree-``degree`` Chebyshev sweep — both polynomial kinds reduce
+    to this form (1st kind: the rho recurrence of deal.II
+    PreconditionChebyshev; 4th kind: the Lottes factors).  Used by the
+    fully-fused sweep kernel (ops/pallas/smoother_step.py::sweep_padded)
+    and exact by construction vs the unfused loops above."""
+    if polynomial_type in ("1st kind", "first_kind", "first"):
+        coefs = [(0.0, 1.0 / theta)]
+        rhok = delta / theta
+        for _ in range(1, degree):
+            rhokp = 1.0 / (2.0 * theta / delta - rhok)
+            coefs.append((rhokp * rhok, 2.0 * rhokp / delta))
+            rhok = rhokp
+    else:
+        lam = float(lam_max)
+        coefs = [(0.0, 4.0 / (3.0 * lam))]
+        for k in range(1, degree):
+            coefs.append(((2.0 * k - 1.0) / (2.0 * k + 3.0),
+                          (8.0 * k + 4.0) / ((2.0 * k + 3.0) * lam)))
+    return coefs
+
+
 class ChebyshevPreconditioner:
     """deal.II-style Chebyshev smoother around (A, P).
 
@@ -138,6 +165,18 @@ class ChebyshevPreconditioner:
         # exact for degree 1 (both polynomial kinds are then single weighted
         # Richardson steps) — attached by the factory when eligible
         self.fused_step = None
+        # optional fully-fused degree-k sweeps (the momentum chain kernel):
+        # fused_sweep(x, b) == step(x, b); fused_sweep_zero(b) == vmult(b)
+        # — attached by the factory when eligible
+        self.fused_sweep = None
+        self.fused_sweep_zero = None
+
+    def sweep_coefficients(self):
+        """(f1, f2) rows for the fused momentum chain (see
+        chebyshev_sweep_coefficients)."""
+        return chebyshev_sweep_coefficients(
+            self.degree, self.theta, self.delta, self.polynomial_type,
+            lam_max=self.beta_range)
 
     # -- first kind ----------------------------------------------------------
 
@@ -186,6 +225,10 @@ class ChebyshevPreconditioner:
         return x + d
 
     def _apply(self, x, b, zero_guess=False):
+        if zero_guess and self.fused_sweep_zero is not None:
+            return self.fused_sweep_zero(b)
+        if not zero_guess and self.fused_sweep is not None:
+            return self.fused_sweep(x, b)
         if self.polynomial_type in ("1st kind", "first_kind", "first"):
             return self._first_kind(x, b, zero_guess)
         return self._fourth_kind(x, b, zero_guess)
@@ -227,8 +270,16 @@ class RelaxationPreconditioner:
             self.eigenvalues = eigenvalues
         self.omega = omega
         self.fused_step = None  # see ChebyshevPreconditioner.fused_step
+        self.fused_sweep = None  # fully-fused n_iterations-sweep hooks
+        self.fused_sweep_zero = None
+
+    def sweep_coefficients(self):
+        """(f1, f2) rows: a Richardson sweep is f1 ≡ 0, f2 = ω."""
+        return [(0.0, self.omega)] * self.n_iterations
 
     def step(self, x, b):
+        if self.fused_sweep is not None:
+            return self.fused_sweep(x, b)
         if self.fused_step is not None:
             for _ in range(self.n_iterations):
                 x = self.fused_step(x, b, self.omega)
@@ -238,6 +289,8 @@ class RelaxationPreconditioner:
         return x
 
     def vmult(self, b):
+        if self.fused_sweep_zero is not None:
+            return self.fused_sweep_zero(b)
         # zero initial guess: the first step is ω·M(b) — no operator apply
         # (and no fused residual pipeline) needed.
         x = self.omega * self.M(b)

@@ -27,6 +27,8 @@ VARIANTS = {
     "fstack": {"f_stack": True},
     "chain2+fstack": {"n_chain": 2, "f_stack": True},
     "chain4+fstack": {"n_chain": 4, "f_stack": True},
+    "zbf16": {"z_bf16": True},
+    "zbf16+fstack": {"z_bf16": True, "f_stack": True},
 }
 
 

@@ -63,7 +63,11 @@ def test_golden_config(name):
     text = "\n".join(lines)
     got_mins = [float(m) for m in re.findall(r"min ev:\s+([\d.e+-]+)", text)]
     got_maxs = [float(m) for m in re.findall(r"max ev:\s+([\d.e+-]+)", text)]
-    if ref_evs and len(got_mins) == len(ref_evs):
+    if ref_evs:
+        # a driver regression that changes how many 'min ev' lines are logged
+        # must FAIL the contract, not silently disable it
+        assert len(got_mins) == len(ref_evs), (name, got_mins, ref_evs)
+        assert len(got_maxs) == len(ref_evs), (name, got_maxs, ref_evs)
         for (rmin, rmax), gmin, gmax in zip(ref_evs, got_mins, got_maxs):
             assert abs(gmin / rmin - 1) < 0.08, (name, rmin, gmin)
             assert abs(gmax / rmax - 1) < 0.08, (name, rmax, gmax)

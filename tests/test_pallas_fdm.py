@@ -136,6 +136,53 @@ class TestChainedSmootherKernel:
         assert rel < 1e-5
 
 
+class TestChebySweepKernel:
+    @pytest.mark.parametrize("cells,p,deg,kind,zero", [
+        ((4, 4, 4), 2, 3, "1st kind", False),
+        ((4, 3, 5), 3, 2, "1st kind", True),
+        ((3, 4, 4), 2, 3, "4th kind", True),
+    ])
+    def test_sweep_matches_chebyshev(self, cells, p, deg, kind, zero):
+        """The fused momentum chain (sweep_padded) == the composed deal.II
+        Chebyshev recurrence, both polynomial kinds, with and without the
+        zero-guess fast path (smoother_step._kernel_chain cheby=True)."""
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+        from dealii_asm_tpu.solvers.chebyshev import (
+            ChebyshevPreconditioner, EigenvalueInfo)
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op = LaplaceOperator(dofs, dtype=jnp.float32)
+        asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                                dtype=jnp.float32)
+        cheb = ChebyshevPreconditioner(
+            op.vmult, asm.vmult, dofs.n_dofs, degree=deg,
+            eigenvalues=EigenvalueInfo(1.2, 1.5, 0), polynomial_type=kind)
+        k = SmootherStepKernel(op, asm, n_chain=deg)
+        coefs = cheb.sweep_coefficients()
+        rng = np.random.default_rng(11)
+        nz, ny, nx = k.grid_shape
+        xg = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+        bg = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+        bp = k.pad_grid(bg)
+        if zero:
+            ref = cheb.vmult(bg.reshape(-1)).reshape(nz, ny, nx)
+            out = k.unpad_grid(
+                k.sweep_padded(bp, bp, coefs, zero_x=True, interpret=True))
+        else:
+            ref = cheb.step(xg.reshape(-1), bg.reshape(-1)).reshape(
+                nz, ny, nx)
+            out = k.unpad_grid(
+                k.sweep_padded(k.pad_grid(xg), bp, coefs, interpret=True),
+                full_src=xg)
+        ref = np.asarray(ref)
+        out = np.asarray(out)
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        # bf16 F-path rounding compounds over the sub-steps
+        assert rel < 4e-2
+
+
 class TestDDVmultKernel:
     @pytest.mark.parametrize("cells,p", [
         ((4, 4, 4), 3),
