@@ -144,7 +144,8 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False, p_stack: bool = False,
             x_fused: bool = False, f_stack: bool = False,
-            z_bf16: bool = False, interpret: bool = False,
+            z_bf16: bool = False, y_first: bool = False,
+            interpret: bool = False,
             prec_a: str = "highest", prec_f: str = "highest",
             stages: str = "PAF"):
     # `stages` is a PROFILING knob (subset of "PAF"): dropping a letter skips
@@ -168,11 +169,13 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         carry[...] = jnp.zeros_like(carry)
 
     if "D" in stages:
-        # overlap diagnostic: ~N plane-FMAs of input-independent VPU work.
-        # If the pipeline overlaps compute with the block DMA, this stage is
-        # free until it exceeds the stream shadow; if stage costs ADD on the
-        # skeleton instead, the pipeline is serialized.
-        n_dummy = next((int(ch) for ch in stages if ch.isdigit()), 1) * 100
+        # overlap diagnostic: ~N plane-FMAs of input-independent VPU work
+        # (N = 100 per 'D' in `stages` — letter count, so it composes with
+        # the sub-F digit cuts).  If the pipeline overlaps compute with the
+        # block DMA, this stage is free until it exceeds the stream shadow;
+        # if stage costs ADD on the skeleton instead, the pipeline is
+        # serialized.
+        n_dummy = stages.count("D") * 100
 
         @pl.when(i >= 0)
         def _():
@@ -199,6 +202,40 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             x_all = x3_ref[...]
             xr[slot] = x_all
             X4 = jnp.concatenate([x_all[t] for t in range(p)], axis=0)
+            if y_first:
+                # FACTOR ORDER SWAP: tensor-product factors commute
+                # (M̂y(M̂x x) == M̂x(M̂y x)), so the banded-y transforms run
+                # on the RAW x stack and feed both the M̂y- and K̂y-images —
+                # ONE set of 9 sublane rolls + 18 column-mads replaces the
+                # after-x form's 18 rolls + 27 mads (the P-stage's dominant
+                # VPU block).  The M̂ₓᵀ-only table for the K̂y-image dot is
+                # a static 128-aligned lane slice of the fused M̂ₓᵀ|K̂ₓᵀ
+                # table; y stays exact f32 on the VPU, x keeps prec_a.
+                myX4, kyX4 = _band_y2(X4, my_ref, ky_ref, n_diag)
+                nxp_ = x3_ref.shape[2]
+                if prec_a == "high":
+                    f32_ = jnp.float32
+                    bf = jnp.bfloat16
+                    d = lambda u, v: jax.lax.dot(u, v,
+                                                 preferred_element_type=f32_)
+                    bh = dmx_ref[...]
+                    bl = dkx_ref[...]
+                    mh = myX4.astype(bf)
+                    ml = (myX4 - mh.astype(f32_)).astype(bf)
+                    a1 = d(mh, bh) + (d(mh, bl) + d(ml, bh))
+                    kh = kyX4.astype(bf)
+                    kl = (kyX4 - kh.astype(f32_)).astype(bf)
+                    a2 = (d(kh, bh[:, :nxp_])
+                          + (d(kh, bl[:, :nxp_]) + d(kl, bh[:, :nxp_])))
+                else:
+                    a1 = _dot(myX4, dmx_ref[:], prec_a)
+                    a2 = _dot(kyX4, dmx_ref[:, :nxp_], prec_a)
+                p1s = a1[:, :nxp_]
+                p2s = a1[:, nxp_:] + a2
+                for t in range(p):
+                    p1r[slot, t] = p1s[t * ny : (t + 1) * ny]
+                    p2r[slot, t] = p2s[t * ny : (t + 1) * ny]
+                return
             if x_dense and x_fused and prec_a == "high":
                 # M̂ₓᵀ|K̂ₓᵀ pre-split HOST-SIDE into bf16 hi (dmx) and lo
                 # (dkx) tables: the runtime table split cost 2 VPU passes
@@ -531,7 +568,8 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                   m: int, p: int, n_win: int, n_chain: int, bdepth: int,
                   cheby: bool = False, zero_x: bool = False,
                   x_dense: bool = True, x_fused: bool = False,
-                  f_stack: bool = False, interpret: bool = False,
+                  f_stack: bool = False, y_first: bool = False,
+                  interpret: bool = False,
                   prec_a: str = "highest", prec_f: str = "highest",
                   stages: str = "PAF"):
     """S = n_chain fused smoother sub-steps in ONE pass over HBM.
@@ -615,6 +653,33 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
             x_all = x3_ref[...] if s == 0 else ystage[...]
             xr[slot] = x_all
             X4 = jnp.concatenate([x_all[t] for t in range(p)], axis=0)
+            if y_first:
+                # factor-order swap — see _kernel's P-stage
+                myX4, kyX4 = _band_y2(X4, my_ref, ky_ref, n_diag)
+                nxp_ = x3_ref.shape[2]
+                if prec_a == "high":
+                    f32_ = jnp.float32
+                    bf = jnp.bfloat16
+                    d = lambda u, v: jax.lax.dot(u, v,
+                                                 preferred_element_type=f32_)
+                    bh = dmx_ref[...]
+                    bl = dkx_ref[...]
+                    mh = myX4.astype(bf)
+                    ml = (myX4 - mh.astype(f32_)).astype(bf)
+                    a1 = d(mh, bh) + (d(mh, bl) + d(ml, bh))
+                    kh = kyX4.astype(bf)
+                    kl = (kyX4 - kh.astype(f32_)).astype(bf)
+                    a2 = (d(kh, bh[:, :nxp_])
+                          + (d(kh, bl[:, :nxp_]) + d(kl, bh[:, :nxp_])))
+                else:
+                    a1 = _dot(myX4, dmx_ref[:], prec_a)
+                    a2 = _dot(kyX4, dmx_ref[:, :nxp_], prec_a)
+                p1s = a1[:, :nxp_]
+                p2s = a1[:, nxp_:] + a2
+                for t in range(p):
+                    p1r[slot, t] = p1s[t * ny: (t + 1) * ny]
+                    p2r[slot, t] = p2s[t * ny: (t + 1) * ny]
+                return
             if x_dense and x_fused and prec_a == "high":
                 # pre-split bf16 hi/lo tables (see _kernel's P-stage)
                 f32_ = jnp.float32
@@ -803,7 +868,7 @@ def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
                 zero_x=False, prec=("highest", "highest"), interpret=False,
                 stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack, z_bf16) = shape
+     f_stack, z_bf16, y_first) = shape
     assert n_wy == 0 and y_banded and p_stack, \
         "chain kernel supports the production configuration only"
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
@@ -817,7 +882,8 @@ def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
         _kernel_chain, m=m, p=p, n_win=n_win, n_chain=S, bdepth=bdepth,
         cheby=bool(cheby), zero_x=bool(zero_x),
         x_dense=bool(x_dense), x_fused=bool(x_fused),
-        f_stack=bool(f_stack), interpret=bool(interpret),
+        f_stack=bool(f_stack), y_first=bool(y_first),
+        interpret=bool(interpret),
         prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -877,13 +943,14 @@ def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False, stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack, z_bf16) = shape
+     f_stack, z_bf16, y_first) = shape
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
                              p_stack=bool(p_stack), x_fused=bool(x_fused),
                              f_stack=bool(f_stack), z_bf16=bool(z_bf16),
+                             y_first=bool(y_first),
                              interpret=bool(interpret),
                              prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
@@ -948,6 +1015,7 @@ class SmootherStepKernel:
                  precision_f: str = "bf16",
                  f_stack: bool = False,
                  z_bf16: bool = False,
+                 y_first: bool = False,
                  n_chain: int = 1):
         # transform_dtype bf16: numerically IDENTICAL to f32 storage (the
         # F-path dots round both operands to bf16 anyway) but halves the
@@ -1215,7 +1283,8 @@ class SmootherStepKernel:
                       int(x_apply == "dense"), int(y_apply == "banded"),
                       int(self._p_stack), int(self._x_fused),
                       int(self._f_stack),
-                      int(z_bf16 and self._n_wy == 0))
+                      int(z_bf16 and self._n_wy == 0),
+                      int(y_first and self._x_fused))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.trim_shape = (nzt, nyt, nxt)

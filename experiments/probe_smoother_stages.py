@@ -48,11 +48,13 @@ def main():
             out, _ = jax.lax.scan(body, xp, None, length=REP)
             return out
 
-        out = chain(xp, bp).block_until_ready()
+        # force a device fetch: block_until_ready under-synchronizes through
+        # the axon remote-execution tunnel (see bench.py)
+        _ = float(chain(xp, bp)[12, 0, 0])
         dt = float("inf")
-        for _ in range(3):
+        for _r in range(3):
             t0 = time.perf_counter()
-            out = chain(xp, bp).block_until_ready()
+            _ = float(chain(xp, bp)[12, 0, 0])
             dt = min(dt, (time.perf_counter() - t0) / REP)
         gdofs = n / dt / 1e9
         print(f"stages={stages or '(skeleton)':9s} {dt*1e3:8.3f} ms/step "

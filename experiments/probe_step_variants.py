@@ -16,7 +16,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as _jnp
 
 VARIANTS = {
-    "default(stack+tbf16)": {},
+    "default(stack+tbf16)": {"y_first": False},
     "nostack": {"p_stack": False},
     "nostack+f32tab": {"p_stack": False, "transform_dtype": _jnp.float32},
     "stack+xband": {"x_apply": "banded"},
@@ -29,6 +29,9 @@ VARIANTS = {
     "chain4+fstack": {"n_chain": 4, "f_stack": True},
     "zbf16": {"z_bf16": True},
     "zbf16+fstack": {"z_bf16": True, "f_stack": True},
+    "yfirst": {"y_first": True},
+    "noyfirst": {"y_first": False},
+    "yfirst+fstack": {"y_first": True, "f_stack": True},
 }
 
 
@@ -40,7 +43,7 @@ def main():
     from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
 
     names = sys.argv[1:] or list(VARIANTS)
-    rounds = int(os.environ.get("ROUNDS", "3"))
+    rounds = int(os.environ.get("ROUNDS", "4"))
     p, c = 4, 64
     mesh = StructuredMesh(dim=3, n_cells=(c, c, c))
     dofs = DofHandler(mesh, p)
@@ -48,7 +51,7 @@ def main():
     asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
                             dtype=jnp.float32)
     n = dofs.n_dofs
-    REP = 20
+    REP = 24
     chains, best = {}, {}
     for name in names:
         kern = SmootherStepKernel(op, asm, **VARIANTS[name])
@@ -58,8 +61,10 @@ def main():
         bp = kern.pad_grid(xg * 0.5)
         S = kern.n_chain
 
+        # args PASSED, not jit-captured: captured-constant operands measured
+        # ~20% slow (round-4 note); forced scalar fetch per bench.py
         @jax.jit
-        def chain(xp=xp, bp=bp, kern=kern, S=S):
+        def chain(xp, bp, kern=kern, S=S):
             def body(x, _):
                 if S == 1:
                     return kern.step_padded(x, bp, 0.9), None
@@ -67,16 +72,17 @@ def main():
             out, _ = jax.lax.scan(body, xp, None, length=REP // S)
             return out
 
-        _ = float(chain()[12, 0, 0])  # compile
-        chains[name] = chain
+        _ = float(chain(xp, bp)[12, 0, 0])  # compile
+        chains[name] = (chain, xp, bp)
         best[name] = float("inf")
     steps = {name: (REP // VARIANTS[name].get("n_chain", 1))
              * VARIANTS[name].get("n_chain", 1) for name in names}
     # interleaved rounds: chip-speed drift hits every variant equally
     for _r in range(rounds):
         for name in names:
+            chain, xp, bp = chains[name]
             t0 = time.perf_counter()
-            _ = float(chains[name]()[12, 0, 0])
+            _ = float(chain(xp, bp)[12, 0, 0])
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / steps[name])
         line = "  ".join(f"{nm}={best[nm]*1e3:.3f}" for nm in names)
