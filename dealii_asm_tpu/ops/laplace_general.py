@@ -130,10 +130,16 @@ class GeneralLaplaceOperator:
             self._coeff_args = (self.coeff,)
 
         # coefficients are O(cells): pass as jit arguments, not captured
-        # constants (the remote-compile transport rejects embedded tables)
-        self._vmult = jax.jit(lambda u, *cf: self._vmult_impl(u, *cf))
+        # constants (the remote-compile transport rejects embedded tables).
+        # inline=True: under an OUTER jit (the solver loop) this trace
+        # inlines, so the gather tables (cell_dofs_T etc.) surface as outer
+        # consts where jit_hoist_consts lifts them to runtime parameters —
+        # a nested pjit keeps them as inner-jaxpr literals, which overflowed
+        # the remote-compile transport at 131k cells (ball L=5, HTTP 413).
+        self._vmult = jax.jit(lambda u, *cf: self._vmult_impl(u, *cf),
+                              inline=True)
         self._residual = jax.jit(
-            lambda b, x, *cf: b - self._vmult_impl(x, *cf))
+            lambda b, x, *cf: b - self._vmult_impl(x, *cf), inline=True)
 
     @property
     def B(self):

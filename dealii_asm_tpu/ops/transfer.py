@@ -83,8 +83,10 @@ class TwoLevelTransfer:
                 vecs.append(jnp.asarray(f))
             self._free_1d[tag] = vecs
 
-        self._prolongate = jax.jit(self._prolongate_impl)
-        self._restrict = jax.jit(self._restrict_impl)
+        # inline=True: surface captured tables to the outer jaxpr for const
+        # hoisting (remote-compile payload limit — see ops/laplace_general.py)
+        self._prolongate = jax.jit(self._prolongate_impl, inline=True)
+        self._restrict = jax.jit(self._restrict_impl, inline=True)
 
     @staticmethod
     def _global_interp_1d(T1: np.ndarray, coarse: DofHandler, fine: DofHandler,

@@ -65,8 +65,12 @@ class GeneralTwoLevelTransfer:
         self.n_fine = fine.n_dofs
         self.n_coarse = coarse.n_dofs
 
-        self._prolongate = jax.jit(self._prolongate_impl)
-        self._restrict = jax.jit(self._restrict_impl)
+        # inline=True: the O(cells) gather tables surface to the outer solver
+        # jaxpr where jit_hoist_consts passes them by reference instead of
+        # embedding compile-payload literals (ball L=5 HTTP 413 — see
+        # ops/laplace_general.py)
+        self._prolongate = jax.jit(self._prolongate_impl, inline=True)
+        self._restrict = jax.jit(self._restrict_impl, inline=True)
 
     @staticmethod
     def _h_fine_lattice(coarse: GeneralDofHandler,

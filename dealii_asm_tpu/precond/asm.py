@@ -328,7 +328,10 @@ class ASMPreconditioner:
         if patch_type == "vertex" and self.global_fdm is None:
             self.access = "gather"
 
-        self._vmult = jax.jit(self._vmult_impl)
+        # inline=True: surface captured patch tables to the outer jaxpr for
+        # const hoisting (remote-compile payload limit — see
+        # ops/laplace_general.py)
+        self._vmult = jax.jit(self._vmult_impl, inline=True)
 
     def _build_lanes(self):
         """Build the lane-major per-patch eigen-transform tables (see

@@ -140,7 +140,12 @@ class GeneralASMPreconditioner:
             self.ras_mask_T = jnp.asarray(
                 np.ascontiguousarray(np.asarray(self.ras_mask).T))
 
-        self._vmult = jax.jit(self._vmult_impl)
+        # inline=True: surfaces the O(patches) gather/eigen tables to the
+        # outer solver jaxpr so jit_hoist_consts passes them by reference
+        # instead of embedding them in the compile payload (see
+        # laplace_general.py — ball L=5 overflowed the remote-compile
+        # transport otherwise)
+        self._vmult = jax.jit(self._vmult_impl, inline=True)
 
     def _fdm_apply(self, xp):
         C = xp.shape[0]

@@ -173,7 +173,10 @@ class RestrictedPreconditioner:
         self.w = jnp.asarray(np.sqrt(w) if wt == "symm" else w, dtype)
         self.weighting_type = wt
         self.n = restrictor.dofs.n_dofs
-        self._vmult = jax.jit(self._vmult_impl)
+        # inline=True: surface captured block tables to the outer jaxpr for
+        # const hoisting (remote-compile payload limit — see
+        # ops/laplace_general.py)
+        self._vmult = jax.jit(self._vmult_impl, inline=True)
         self.is_symmetric = wt in ("none", "symm")
 
     def _vmult_impl(self, src):
