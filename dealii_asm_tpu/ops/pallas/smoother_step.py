@@ -333,10 +333,15 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
 
         # hoisted ring reads: ONE (p, ny, nx) block load + one plane load —
         # calling these inside the k loop emitted m separate loads per plane
-        # (m² plane reads per grid step, the dominant F-stage VMEM traffic)
+        # (m² plane reads per grid step, the dominant F-stage VMEM traffic).
+        # The bf16 ring planes upcast ONCE here: leaving the cast to the Ts
+        # chain's type promotion emitted m² converts per grid step (25 at
+        # Q4) instead of m — ~1.3k vreg instructions, measured in the
+        # stage-profile compute adder (results_r4.md, compute roofline).
         _r_blk = azr[prev]
         _r_last = azr[cur, 0]
-        _r_planes = [_r_blk[s] for s in range(p)] + [_r_last]
+        _up = (lambda v: v) if z_bf16 else (lambda v: v.astype(f32))
+        _r_planes = [_up(_r_blk[s]) for s in range(p)] + [_up(_r_last)]
 
         def r_plane(s):  # r at global plane p·w + s
             return _r_planes[s]
@@ -754,9 +759,12 @@ def _kernel_chain(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref,
                 _r_planes = ([_r_blk[t] for t in range(p)]
                              + [bring[(w + 1) % bdepth, 0]])
             else:
+                # upcast the bf16 ring ONCE per plane (m converts), not per
+                # Ts term (m² converts) — see _kernel's F-stage
                 _r_blk = azr[w % 2]
-                _r_planes = ([_r_blk[t] for t in range(p)]
-                             + [azr[(w + 1) % 2, 0]])
+                _r_planes = ([_r_blk[t].astype(jnp.float32)
+                              for t in range(p)]
+                             + [azr[(w + 1) % 2, 0].astype(jnp.float32)])
 
             def r_plane(t):
                 return _r_planes[t]

@@ -18,3 +18,12 @@ jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: compiles dominate wall time on this box
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    # `slow` tags tests >~15 s on the 1-core CI box (sharded-driver parity,
+    # on-mesh convergence runs).  The DEFAULT run includes them — the full
+    # suite is the contract; `pytest -m "not slow"` is the quick dev loop
+    # (~5 min instead of ~17).
+    config.addinivalue_line(
+        "markers", "slow: long-running test (excluded via -m 'not slow')")

@@ -241,6 +241,7 @@ class TestGeneralTransfer:
 
 
 class TestBallMultigrid:
+    @pytest.mark.slow
     def test_ball_mg_iteration_count(self):
         from dealii_asm_tpu.models.poisson import run_config
 
@@ -297,6 +298,7 @@ class TestGeneralOverlapPatches:
                     exp[d] = (cell2 + gll[g1 - cell2 * p]) * h
                 assert np.abs(dh.points[gi] - exp).max() < 1e-10
 
+    @pytest.mark.slow
     def test_ball_overlap2_converges_better(self):
         from dealii_asm_tpu.solvers.krylov import solve as ksolve
 

@@ -81,6 +81,7 @@ class TestMergedDDKernel:
         ref2 = np.asarray(op.vmult(jnp.asarray(u)))
         np.testing.assert_allclose(got, ref2, rtol=0, atol=1e-12 * scale)
 
+    @pytest.mark.slow
     def test_matches_xla_dd_path(self):
         from dealii_asm_tpu.ops.ddmath import dd_from_f64 as split_f64
         from dealii_asm_tpu.ops.tensorops import (

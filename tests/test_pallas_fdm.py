@@ -214,6 +214,7 @@ class TestDDVmultKernel:
         op = LaplaceOperator(dofs, dtype=jnp.float64, kernel="pallas-dd")
         assert op._dd_pallas is None
 
+    @pytest.mark.slow
     def test_fused_matches_four_pass(self):
         """2-pass chain (fused xy + dual z) ≡ original 4-pass chain: both
         are ~47-bit dd evaluations; merging c+d reorders one TwoSum chain."""

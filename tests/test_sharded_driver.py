@@ -33,6 +33,7 @@ def _cfg(**over):
 
 
 class TestShardedDriver:
+    @pytest.mark.slow
     def test_iteration_parity_and_solution(self):
         assert len(jax.devices()) >= 8
         r1 = run_config(_cfg(), log=lambda *_: None)
@@ -45,6 +46,7 @@ class TestShardedDriver:
                                    np.asarray(r1["solution"]),
                                    rtol=1e-7, atol=1e-9)
 
+    @pytest.mark.slow
     def test_two_sharded_levels_relaxation(self):
         """Sharded-sharded transfers + Relaxation smoother + diag inner."""
         cfg = _cfg(**{"n devices": 4, "degree": 2, "n refinements": 3})

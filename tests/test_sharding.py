@@ -163,6 +163,7 @@ def test_transfer_replicated_coarse(jmesh):
         np.asarray(t.restrict(rf)), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_mg_iteration_parity(jmesh):
     """2-level p-MG (replicated coarse, sharded fine) preserves CG counts."""
     from dealii_asm_tpu.precond.multigrid import DirectCoarseSolver, Multigrid
