@@ -31,7 +31,6 @@ def main():
     from dealii_asm_tpu.fem.functions import make_rhs_and_dbc
     from dealii_asm_tpu.precond.adapter import PrecisionAdapter
     from dealii_asm_tpu.utils.config import get_child
-    from dealii_asm_tpu.utils.jitutils import jit_hoist_consts
 
     family = make_mesh_family(params, lambda *a: None)
     dofs = _make_dofs(family, family.fine_mesh, 4)
@@ -53,8 +52,14 @@ def main():
     print(f"hoistable consts: n={len(consts)} total={total_const/1e6:.1f} MB",
           flush=True)
 
+    try:  # same guarded layout probe as utils/jitutils.py
+        from jax.extend.core import Jaxpr  # noqa: F401  (availability probe)
+        from jax.core import eval_jaxpr
+    except ImportError:  # pragma: no cover - older jax layouts
+        from jax.core import eval_jaxpr
+
     lowered = jax.jit(
-        lambda consts, x: jax.core.eval_jaxpr(closed.jaxpr, consts, x)
+        lambda consts, x: eval_jaxpr(closed.jaxpr, consts, x)
     ).lower(consts, b)
     text = lowered.as_text()
     print(f"lowered HLO text: {len(text)/1e6:.1f} MB", flush=True)

@@ -60,7 +60,7 @@ def _patched(mode):
         return _cheb.EigenvalueInfo(
             info.min_eigenvalue_estimate * scale,
             info.max_eigenvalue_estimate * scale,
-            info.n_iterations)
+            info.cg_n_iterations)
     return f
 
 
