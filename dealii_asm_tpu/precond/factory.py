@@ -95,9 +95,17 @@ def _try_attach_fused_step(smoother, op, inner, log=_noop_log):
     # chain depth (per-sub-step rings) — degrees above 4 keep the per-step
     # path.  Reference analog: the fused vector-operation ranges applied
     # across the whole sweep (matrix_free.h:420-532).
+    #
+    # Crossover gate: the chain only wins where its deeper VMEM rings do not
+    # eat the saved HBM round-trips.  Measured on v5e (Q4 64^3 17M, round-4
+    # toggle sweep + round-5 per-degree `>>` bench, results_r5.md): chain2
+    # -2% vs the per-step path, chain3 +6%, chain4 slower still — attach at
+    # degree 2 only.  Override with DEALII_ASM_TPU_CHAIN_DEGREES=2,3,4 to
+    # re-bench.
     degree = int(getattr(smoother, "degree", 0)
                  or getattr(smoother, "n_iterations", 0))
-    if 2 <= degree <= 4 and hasattr(smoother, "sweep_coefficients"):
+    if degree in _chain_win_degrees() and hasattr(smoother,
+                                                  "sweep_coefficients"):
         try:
             ck = kern.as_chain(degree)
         except ValueError:
@@ -128,6 +136,17 @@ def _require_pallas() -> bool:
     import os
 
     return os.environ.get("DEALII_ASM_TPU_REQUIRE_PALLAS", "") == "1"
+
+
+def _chain_win_degrees() -> set:
+    """Chebyshev degrees where the fused momentum-chain kernel measured
+    faster than the per-step fused kernel (see _try_attach_fused_step)."""
+    import os
+
+    env = os.environ.get("DEALII_ASM_TPU_CHAIN_DEGREES")
+    if env is not None:
+        return {int(t) for t in env.split(",") if t.strip()}
+    return {2}
 
 
 def create_system_preconditioner(op, params: dict, log=_noop_log):
