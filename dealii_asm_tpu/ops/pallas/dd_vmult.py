@@ -136,7 +136,7 @@ def _kern_y(xh_ref, xl_ref, mh_ref, ml_ref, mhh_ref, mhl_ref,
             out_refs[2 * j + 1][t] = lo
 
 
-def _dd_band_accum(accs, xh, xl, tabs, n_diag, axis):
+def _dd_band_accum(accs, xh, xl, tabs, n_diag, axis, stride: int = 1):
     """Accumulate banded dd applies of (xh, xl) by each table into accs.
 
     Split-after-roll variant of ``_band_roll_dual``: rolls only the two
@@ -145,11 +145,15 @@ def _dd_band_accum(accs, xh, xl, tabs, n_diag, axis):
     halving them wins over re-splitting.  accs entries may be None (fresh)
     or (hi, compensation) pairs from a previous input (chain continuation),
     so two banded applies sharing one output (e.g. K̂y a + M̂y k) merge into
-    ONE TwoSum chain with no final dd-add."""
+    ONE TwoSum chain with no final dd-add.
+
+    ``stride``: roll step per diagonal — 1 for lane-window bands; m for the
+    z-bands of a fused (z·m+y)-row layout (lanes_vmult.py), where diagonal
+    δ reads row offset δ·m."""
     p = (n_diag - 1) // 2
     n = xh.shape[axis]
     for k in range(n_diag):
-        shift = np.int32((p - k) % n)
+        shift = np.int32(((p - k) * stride) % n)
         rh = pltpu.roll(xh, shift, axis)
         rl = pltpu.roll(xl, shift, axis)
         rhh, rhl = _split12(rh)

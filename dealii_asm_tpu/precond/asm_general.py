@@ -135,6 +135,12 @@ class GeneralASMPreconditioner:
                                         self.dim, dtype)
         self.patch_idx_T = jnp.asarray(
             np.ascontiguousarray(idx.astype(np.int32).T))
+        # scatter-back as transpose gathers (ops/scatter.py): colliding
+        # .at[].add scatters serialize on TPU
+        from ..ops.scatter import TransposeScatter
+
+        self._tscat_T = TransposeScatter(idx.T, n)
+        self._tscat = TransposeScatter(idx, n)
         self.ras_mask_T = None
         if self.ras_mask is not None:
             self.ras_mask_T = jnp.asarray(
@@ -181,15 +187,13 @@ class GeneralASMPreconditioner:
             y = fdm_apply_lanes(W, self.m, self.dim, *self.lanes)
             if self.ras_mask_T is not None:
                 y = y * self.ras_mask_T
-            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
-                self.patch_idx_T.reshape(-1)].add(y.reshape(-1))[:-1]
+            dst = self._tscat_T.apply(y, dtype=x.dtype)
         else:
             xp = xpad[self.patch_idx]
             y = self._fdm_apply(xp)
             if self.ras_mask is not None:
                 y = y * self.ras_mask
-            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
-                self.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
+            dst = self._tscat.apply(y, dtype=x.dtype)
         if self.weighting_type in ("post", "symm"):
             dst = dst * w
         return dst

@@ -1,0 +1,88 @@
+"""Fused lane-major dd Pallas vmult (ops/pallas/lanes_vmult.py) equality.
+
+Interpret mode on CPU vs (a) the XLA double-single composition
+(`apply_local_lanes_dd` + TransposeScatter) and (b) the exact f64 sumfac
+oracle — the same contract the merged (structured-deformed) kernel carries
+in test_merged_vmult_kernel.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+from dealii_asm_tpu.fem.general_dofs import GeneralDofHandler
+from dealii_asm_tpu.mesh.unstructured import hyper_ball_balanced
+from dealii_asm_tpu.ops.laplace_general import GeneralLaplaceOperator
+
+
+@pytest.mark.parametrize("degree", [2, 3, 4])
+def test_matches_sumfac_oracle(degree):
+    mesh = hyper_ball_balanced(3)
+    dh = GeneralDofHandler(mesh, degree)
+    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    assert getattr(lanes, "_lanes_dd_pallas", None) is not None, \
+        "kernel must attach on the 3D f64 lanes path"
+    oracle = GeneralLaplaceOperator(dh, dtype=jnp.float64, kernel="sumfac")
+    rng = np.random.default_rng(degree)
+    x = jnp.asarray(rng.standard_normal(dh.n_dofs))
+    got = np.asarray(lanes.vmult(x))
+    ref = np.asarray(oracle.vmult(x))
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=2e-12 * np.abs(ref).max())
+
+
+def test_matches_xla_dd_composition():
+    # refined ball: C = 56 cells exercises >1 lane tile and cell padding
+    mesh = hyper_ball_balanced(3).refine()
+    dh = GeneralDofHandler(mesh, 3)
+    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    kern = lanes._lanes_dd_pallas
+    assert kern is not None
+
+    # XLA dd composition on the same operator data: rebuild the split
+    # tables the kernel path skipped
+    from dealii_asm_tpu.ops.ddmath import dd_from_f64, split_table_np
+
+    q = lanes.n_q_1d
+    C = mesh.n_cells_total
+    comps = [np.asarray(c6, np.float64).reshape((q,) * 3 + (C,))
+             for c6 in lanes.coeff6]
+    # coeff6 is stored in f32 (dtype f64 keeps coeff6 in op dtype) — read
+    # the dtype actually stored and split accordingly
+    c6dd = []
+    for c in comps:
+        c6dd.append(tuple(jnp.asarray(t) for t in split_table_np(c)))
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(dh.n_dofs)
+    u0 = jnp.asarray(x)
+    uh, ul = dd_from_f64(u0)
+    Wh = uh[lanes.cell_dofs_T]
+    Wl = ul[lanes.cell_dofs_T]
+    vh, vl = lanes.apply_local_lanes_dd(Wh, Wl, c6dd)
+    v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+    ref = np.asarray(lanes._tscat.apply(v, dtype=jnp.float64))
+
+    got = np.asarray(kern.vmult_f64(uh, ul))
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=2e-13 * np.abs(ref).max())
+
+
+def test_gather_table_layout():
+    mesh = hyper_ball_balanced(3)
+    dh = GeneralDofHandler(mesh, 2)
+    op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    kern = op._lanes_dd_pallas
+    m = 3
+    cd = np.asarray(dh.cell_dofs)
+    tab = np.asarray(kern.gather_tab)
+    C = cd.shape[0]
+    for c in (0, C - 1):
+        for r in range(m * m):
+            for xx in range(m):
+                assert tab[r, c * m + xx] == cd[c, r * m + xx]
+    # pads carry the zero-slot sentinel
+    assert (tab[m * m:, :] == dh.n_dofs).all()
+    assert (tab[:, C * m:] == dh.n_dofs).all()
