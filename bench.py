@@ -62,7 +62,14 @@ def _kernel_bench():
     x = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
     b = jnp.asarray(rng.standard_normal(dofs.n_dofs), dtype)
 
-    REP = 20
+    # Two-point marginal-rate protocol (the round-4/5 bench-vs-probe
+    # reconciliation, results_r5.md): one timed call folds fixed costs —
+    # the in-jit pad/unpad (~3 ms total) plus tunnel dispatch/fetch — over
+    # REP steps, understating the per-step rate ~15% at REP=20.  In the
+    # production V-cycle the padding happens once per SOLVE, not per step,
+    # so the honest per-step number is the marginal rate
+    # (T(REP2) − T(REP1)) / (REP2 − REP1), which cancels every fixed term.
+    REP1, REP2 = 20, 40
 
     try:
         from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
@@ -70,15 +77,15 @@ def _kernel_bench():
         kern = SmootherStepKernel(op, asm)
         nz, ny, nx = kern.grid_shape
 
-        # chain in the kernel's padded layout (the production V-cycle shape):
-        # pad once, slice once — per-step pad/slice costs 1.4 of 4.0 ms
-        @jax.jit
-        def many(x, b):
-            xp = kern.pad_grid(x.reshape(nz, ny, nx))
-            bp = kern.pad_grid(b.reshape(nz, ny, nx))
-            for _ in range(REP):
-                xp = kern.step_padded(xp, bp)
-            return kern.unpad_grid(xp).reshape(-1)
+        def make_many(rep):
+            @jax.jit
+            def many(x, b):
+                xp = kern.pad_grid(x.reshape(nz, ny, nx))
+                bp = kern.pad_grid(b.reshape(nz, ny, nx))
+                for _ in range(rep):
+                    xp = kern.step_padded(xp, bp)
+                return kern.unpad_grid(xp).reshape(-1)
+            return many
 
         path = "pallas"
     except Exception as e:  # pallas unavailable -> XLA composition, LOUDLY
@@ -89,26 +96,38 @@ def _kernel_bench():
         warnings.warn(f"bench.py: Pallas kernel unavailable ({e!r}); timing "
                       "the XLA composition instead", RuntimeWarning)
 
-        @jax.jit
-        def many(x, b):
-            for _ in range(REP):
-                x = x + asm.vmult_traceable(b - op.vmult_traceable(x))
-            return x
+        def make_many(rep):
+            @jax.jit
+            def many(x, b):
+                for _ in range(rep):
+                    x = x + asm.vmult_traceable(b - op.vmult_traceable(x))
+                return x
+            return many
 
         path = "xla-fallback"
 
+    many1, many2 = make_many(REP1), make_many(REP2)
+
     # warm-up / compile; forced fetch (block_until_ready may under-synchronize
     # through remote-execution tunnels)
-    x = many(x, b)
+    x = many1(x, b)
     _ = float(x[0])
+    _ = float(many2(x, b)[0])
 
-    best = float("inf")
+    t_short = t_long = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        y = many(x, b)
-        _ = float(y[0])
-        best = min(best, (time.perf_counter() - t0) / REP)
+        _ = float(many1(x, b)[0])
+        t_short = min(t_short, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(many2(x, b)[0])
+        t_long = min(t_long, time.perf_counter() - t0)
 
+    best = (t_long - t_short) / (REP2 - REP1)
+    # guard: if timing noise makes the marginal rate non-physical, fall back
+    # to the conservative single-call average
+    if not (0.0 < best < t_short / REP1 * 1.5):
+        best = t_short / REP1
     return dofs.n_dofs, best, path
 
 

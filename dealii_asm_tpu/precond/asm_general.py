@@ -136,11 +136,13 @@ class GeneralASMPreconditioner:
         self.patch_idx_T = jnp.asarray(
             np.ascontiguousarray(idx.astype(np.int32).T))
         # scatter-back as transpose gathers (ops/scatter.py): colliding
-        # .at[].add scatters serialize on TPU
+        # .at[].add scatters serialize on TPU.  The patch-major table is
+        # built lazily — the lanes path is the production layout.
         from ..ops.scatter import TransposeScatter
 
         self._tscat_T = TransposeScatter(idx.T, n)
-        self._tscat = TransposeScatter(idx, n)
+        self._tscat_lazy = None
+        self._idx_np = idx
         self.ras_mask_T = None
         if self.ras_mask is not None:
             self.ras_mask_T = jnp.asarray(
@@ -193,7 +195,11 @@ class GeneralASMPreconditioner:
             y = self._fdm_apply(xp)
             if self.ras_mask is not None:
                 y = y * self.ras_mask
-            dst = self._tscat.apply(y, dtype=x.dtype)
+            if self._tscat_lazy is None:
+                from ..ops.scatter import TransposeScatter
+
+                self._tscat_lazy = TransposeScatter(self._idx_np, self.n_dofs)
+            dst = self._tscat_lazy.apply(y, dtype=x.dtype)
         if self.weighting_type in ("post", "symm"):
             dst = dst * w
         return dst
