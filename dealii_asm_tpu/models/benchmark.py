@@ -119,6 +119,14 @@ def build_from_label(label: str, op, dofs, dtype, jmesh=None):
             algorithm="lanczos" if sym else "power iteration")
         cheb = ChebyshevPreconditioner(op.vmult, inner.vmult, dofs.n_dofs,
                                        degree=degree, eigenvalues=ev)
+        if asm is not None:
+            # production kernel attach (fused step + degree-gated momentum
+            # chain) so cheby-label `>>` lines measure what the factory
+            # ships; DEALII_ASM_TPU_CHAIN_DEGREES toggles the chain for the
+            # per-degree crossover bench (results_r5.md)
+            from ..precond.factory import _try_attach_fused_step
+
+            _try_attach_fused_step(cheb, op, asm)
         fn = cheb.vmult
     else:
         cfg = parse_fdm_label(props, 0)
