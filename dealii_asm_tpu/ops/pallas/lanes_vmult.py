@@ -249,6 +249,14 @@ class LanesDDVmultKernel:
                                 compiler_options=self.jopts)
 
     def _pallas(self, Wh, Wl, *coeff_tabs):
+        # x64 off for the whole call: with x64 on, the index-map literals
+        # trace as i64 and Mosaic fails to legalize the map's func.return
+        from jax._src.config import enable_x64 as _enable_x64
+
+        with _enable_x64(False):
+            return self._pallas_inner(Wh, Wl, *coeff_tabs)
+
+    def _pallas_inner(self, Wh, Wl, *coeff_tabs):
         blk = (self.Rpad, self.Wb)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = [pl.BlockSpec(blk, lambda i: (0, i))] * 14

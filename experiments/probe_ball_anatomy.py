@@ -89,26 +89,53 @@ def main():
 
     if "local" in sections:
         uh, ul = dd_from_f64(u)
-        Wh = jax.device_put(uh[idxT])
-        Wl = jax.device_put(ul[idxT])
+        kern = getattr(op, "_lanes_dd_pallas", None)
+        if kern is not None:
+            # fused Pallas local apply on pre-gathered kernel-layout blocks
+            Wh = jax.device_put(uh[kern.gather_tab])
+            Wl = jax.device_put(ul[kern.gather_tab])
 
-        @jax.jit
-        def l_chain(Wh, Wl, *cf):
-            n_sym = 6
-            c6dd = [tuple(cf[4 * k: 4 * k + 4]) for k in range(n_sym)]
-            def body(c, _):
-                vh, vl = op.apply_local_lanes_dd(c[0], c[1], c6dd)
-                return (vh, vl), None
-            out, _ = jax.lax.scan(body, (Wh, Wl), None, length=REP)
-            return out[0]
-        timed("local-dd", lambda: l_chain(Wh, Wl, *cdd), n, REP,
-              lambda o: float(o[0, 0]))
+            @jax.jit
+            def l_chain(Wh, Wl, *cf):
+                def body(c, _):
+                    vh, vl = kern._pallas(c[0], c[1], *cf)
+                    return (vh, vl), None
+                out, _ = jax.lax.scan(body, (Wh, Wl), None, length=REP)
+                return out[0]
+            timed("local-pallas", lambda: l_chain(Wh, Wl, *kern.coeff_tabs),
+                  n, REP, lambda o: float(o[0, 0]))
+        if cdd is not None:
+            Wh = jax.device_put(uh[idxT])
+            Wl = jax.device_put(ul[idxT])
+
+            @jax.jit
+            def l_chain(Wh, Wl, *cf):
+                n_sym = 6
+                c6dd = [tuple(cf[4 * k: 4 * k + 4]) for k in range(n_sym)]
+                def body(c, _):
+                    vh, vl = op.apply_local_lanes_dd(c[0], c[1], c6dd)
+                    return (vh, vl), None
+                out, _ = jax.lax.scan(body, (Wh, Wl), None, length=REP)
+                return out[0]
+            timed("local-dd", lambda: l_chain(Wh, Wl, *cdd), n, REP,
+                  lambda o: float(o[0, 0]))
 
     if "scatter" in sections:
         v0 = jax.device_put(np.random.randn(*idxT.shape).astype(np.float32))
 
         @jax.jit
-        def s_chain(v, idxT):
+        def s_new(v):
+            def body(c, _):
+                dst = op._tscat.apply(v + c[0], dtype=jnp.float32)
+                return (c[0] + 1.0, dst), None
+            (_, dst), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), jnp.zeros(n, jnp.float32)),
+                None, length=REP)
+            return dst
+        timed("scatter-new", lambda: s_new(v0), n, REP, lambda o: float(o[0]))
+
+        @jax.jit
+        def s_old(v, idxT):
             flat = idxT.reshape(-1)
             def body(c, _):
                 dst = jnp.zeros(n, jnp.float32).at[flat].add(
@@ -118,7 +145,7 @@ def main():
                 body, (jnp.float32(0.0), jnp.zeros(n, jnp.float32)),
                 None, length=REP)
             return dst
-        timed("scatter", lambda: s_chain(v0, idxT), n, REP,
+        timed("scatter-old", lambda: s_old(v0, idxT), n, REP,
               lambda o: float(o[0]))
 
     if "vmult" in sections:
