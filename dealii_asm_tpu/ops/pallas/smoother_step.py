@@ -139,12 +139,12 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
             omega_ref, x3_ref, b_ref,
             dmx_ref, dkx_ref, my_ref, ky_ref,
             gy_ref, gyt_ref, gxT_ref, gxtT_ref, lamyx_ref,
-            out_ref,
-            p1r, p2r, azr, carry, xr,
-            *, m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
+            *rest,
+            m: int, p: int, n_win: int, n_wy: int, x_dense: bool = False,
             y_banded: bool = False, p_stack: bool = False,
             x_fused: bool = False, f_stack: bool = False,
             z_bf16: bool = False, y_first: bool = False,
+            f_zmxu: bool = False,
             interpret: bool = False,
             prec_a: str = "highest", prec_f: str = "highest",
             stages: str = "PAF"):
@@ -155,6 +155,10 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
     # per-y-window eigen blocks (m, m, n_wy, 1) instead of dense matrices, and
     # the y transforms run as per-window vector broadcasts on reshaped plane
     # rows (G is block-banded; the MXU wastes ~(ny/m)x FLOPs on its zeros)
+    if f_zmxu:
+        gyz_ref, gytz_ref, out_ref, p1r, p2r, azr, carry, xr = rest
+    else:
+        out_ref, p1r, p2r, azr, carry, xr = rest
     i = pl.program_id(0)
     f32 = jnp.float32
     n_diag = 2 * p + 1
@@ -350,6 +354,33 @@ def _kernel(kid_ref, zid_ref, kzr_ref, mzr_ref, lamz_ref, vzf_ref, vzb_ref,
         ny = x3_ref.shape[1]
         nx = x3_ref.shape[2]
         mx = gxT_ref.shape[1]
+
+        if f_zmxu:
+            # VERDICT r4 task #5a: BOTH z-transform scalar-plane chains (the
+            # F-stage's two largest VPU items, +4.5/+5.2 us/grid-step) fold
+            # into the Gy/Gyt dots as window-batched MXU work — operands are
+            # the s-stacked r planes and k/s-stacked pre-scaled eigen blocks
+            # (gyz[u, k·my+i, s·ny+j] = vzf[u,s,k]·Gy[i,j]; gytz likewise
+            # with vzb).  m x more MXU MACs on those two dots, ~10 us/step
+            # less VPU work — wins iff the MXU stays under the VPU wall.
+            S = jnp.concatenate([_r_blk[s] for s in range(p)] + [_r_last],
+                                axis=0)  # (m·ny, nx), r-ring dtype (bf16)
+            Ball = _dot(gyz_ref[wz].astype(dt), S.astype(dt), prec_f)
+            Cq_all = _dot(Ball.astype(dt), gxT_ref[:], prec_f)
+            Cq_all = Cq_all * lamyx_ref[wz]
+            Ystack = _dot(gytz_ref[wz].astype(dt), Cq_all.astype(dt), prec_f)
+            Zstack = _dot(Ystack.astype(dt), gxtT_ref[:], prec_f)
+            x_blk = xr[xslot]
+            for s in range(p):
+                out_ref[s] = x_blk[s] + omega * Zstack[s * ny : s * ny + ny]
+            carry[1] = Zstack[p * ny : p * ny + ny]
+
+            @pl.when(w > 0)
+            def _():
+                out_ref[0] += omega * carry[0]
+
+            carry[0] = carry[1]
+            return
 
         if z_bf16:
             # z-transform scalar·plane chains in NATIVE bf16: half the vreg
@@ -876,8 +907,8 @@ def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
                 zero_x=False, prec=("highest", "highest"), interpret=False,
                 stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack, z_bf16, y_first) = shape
-    assert n_wy == 0 and y_banded and p_stack, \
+     f_stack, z_bf16, y_first, f_zmxu) = shape
+    assert n_wy == 0 and y_banded and p_stack and not f_zmxu, \
         "chain kernel supports the production configuration only"
     (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
      gy, gyt, gxT, gxtT, lamyx) = tables
@@ -951,14 +982,20 @@ def _call_chain(x, b, coef, tables, shape, n_chain, cheby=False,
 def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
           interpret=False, stages="PAF"):
     (ny, nx, m, p, n_win, n_wy, x_dense, y_banded, p_stack, x_fused,
-     f_stack, z_bf16, y_first) = shape
-    (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
-     gy, gyt, gxT, gxtT, lamyx) = tables
+     f_stack, z_bf16, y_first, f_zmxu) = shape
+    zmxu_ops = ()
+    if f_zmxu:
+        (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
+         gy, gyt, gxT, gxtT, lamyx, gyz, gytz) = tables
+        zmxu_ops = (gyz, gytz)
+    else:
+        (kid, zid, kzr, mzr, lamz, vzf, vzb, dmx, dkx, my_m, ky_m,
+         gy, gyt, gxT, gxtT, lamyx) = tables
     kern = functools.partial(_kernel, m=m, p=p, n_win=n_win, n_wy=n_wy,
                              x_dense=bool(x_dense), y_banded=bool(y_banded),
                              p_stack=bool(p_stack), x_fused=bool(x_fused),
                              f_stack=bool(f_stack), z_bf16=bool(z_bf16),
-                             y_first=bool(y_first),
+                             y_first=bool(y_first), f_zmxu=bool(f_zmxu),
                              interpret=bool(interpret),
                              prec_a=prec[0], prec_f=prec[1], stages=stages)
     blk = (p, ny, nx)
@@ -981,7 +1018,7 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
                          memory_space=pltpu.VMEM),       # b: A-stage rows
             vmem, vmem, vmem, vmem,                      # dmx dkx my ky
             vmem, vmem, vmem, vmem, vmem,                # gy gyt gxT gxtT lamyx
-        ],
+        ] + [vmem] * len(zmxu_ops),
         out_specs=pl.BlockSpec(blk, lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1010,7 +1047,7 @@ def _call(x, b, omega, tables, shape, prec=("highest", "highest"),
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(kid, zid, kzr, mzr, lamz, vzf, vzb, omega, x, b,
-          dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx)
+          dmx, dkx, my_m, ky_m, gy, gyt, gxT, gxtT, lamyx, *zmxu_ops)
 
 
 class SmootherStepKernel:
@@ -1024,6 +1061,7 @@ class SmootherStepKernel:
                  f_stack: bool = False,
                  z_bf16: bool = False,
                  y_first: bool = False,
+                 f_zmxu: bool = False,
                  n_chain: int = 1):
         # transform_dtype bf16: numerically IDENTICAL to f32 storage (the
         # F-path dots round both operands to bf16 anyway) but halves the
@@ -1275,6 +1313,26 @@ class SmootherStepKernel:
             lam_np = np.asarray(lamyx_t)
             lamyx_t = jnp.asarray(np.pad(
                 lam_np, ((0, 0), (0, 0), (0, mxp - lam_np.shape[2]))))
+        # f_zmxu (VERDICT r4 task #5a probe): pre-scaled k/s-stacked eigen
+        # blocks that fold BOTH z-transform scalar chains into the Gy/Gyt
+        # MXU dots (see _kernel's f_zmxu branch)
+        self._f_zmxu = bool(f_zmxu) and self._n_wy == 0
+        zmxu_tabs = ()
+        if self._f_zmxu:
+            gy_np = padc(Gy[:, :nyt], nyp).astype(np.float32)
+            gyt_np = padr(Gyt[:nyt], nyp).astype(np.float32)
+            my_rows = gy_np.shape[0]
+            gyz = np.zeros((U, m * my_rows, m * nyp), np.float32)
+            gytz = np.zeros((U, m * nyp, m * my_rows), np.float32)
+            for u in range(U):
+                for s in range(m):
+                    for k in range(m):
+                        gyz[u, k * my_rows : (k + 1) * my_rows,
+                            s * nyp : (s + 1) * nyp] = vzf_u[u, s, k] * gy_np
+                        gytz[u, s * nyp : (s + 1) * nyp,
+                             k * my_rows : (k + 1) * my_rows] = (
+                                 vzb_u[u, s, k] * gyt_np)
+            zmxu_tabs = (jnp.asarray(gyz, tdt), jnp.asarray(gytz, tdt))
         self.tables = (
             jnp.asarray(kid.astype(np.int32)), jnp.asarray(zid.astype(np.int32)),
             jnp.asarray(kzr_u), jnp.asarray(mzr_u),
@@ -1286,13 +1344,14 @@ class SmootherStepKernel:
             jnp.asarray(gxT_m, tdt),
             jnp.asarray(gxtT_m, tdt),
             lamyx_t,
-        )
+        ) + zmxu_tabs
         self.shape = (nyp, nxp, m, p, n_win, self._n_wy,
                       int(x_apply == "dense"), int(y_apply == "banded"),
                       int(self._p_stack), int(self._x_fused),
                       int(self._f_stack),
                       int(z_bf16 and self._n_wy == 0),
-                      int(y_first and self._x_fused))
+                      int(y_first and self._x_fused),
+                      int(self._f_zmxu))
         self.precisions = (precision_a, precision_f)
         self.grid_shape = (nz, ny, nx)
         self.trim_shape = (nzt, nyt, nxt)

@@ -84,9 +84,59 @@ def task_dma():
         sys.argv = old
 
 
+def task_zmxu():
+    """VERDICT r4 task #5a: F-stage z-chains as window-batched MXU dots
+    (f_zmxu=True) vs the production kernel, chained-step protocol."""
+    import time as _t
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dealii_asm_tpu.fem.dofs import DofHandler
+    from dealii_asm_tpu.mesh.grid import StructuredMesh
+    from dealii_asm_tpu.ops.laplace import LaplaceOperator
+    from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+    from dealii_asm_tpu.precond.asm import ASMPreconditioner
+
+    mesh = StructuredMesh(3, (64,) * 3)
+    dofs = DofHandler(mesh, 4)
+    op = LaplaceOperator(dofs, dtype=jnp.float32)
+    asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                            dtype=jnp.float32)
+    n = dofs.n_dofs
+    rng = np.random.default_rng(0)
+    xg = jnp.asarray(rng.standard_normal(
+        (64 * 4 + 1,) * 3).astype(np.float32))
+    REP = 30
+    rates = {}
+    for name, kw in (("default", {}), ("f_zmxu", {"f_zmxu": True})):
+        kern = SmootherStepKernel(op, asm, **kw)
+        xp = kern.pad_grid(xg)
+        bp = kern.pad_grid(xg * 0.5)
+
+        @jax.jit
+        def chain(xp, bp, _k=kern):
+            def body(x, _):
+                return _k.step_padded(x, bp, 0.9), None
+            out, _ = jax.lax.scan(body, xp, None, length=REP)
+            return out
+
+        _ = float(chain(xp, bp)[12, 0, 0])
+        dt = float("inf")
+        for _r in range(3):
+            t0 = _t.perf_counter()
+            _ = float(chain(xp, bp)[12, 0, 0])
+            dt = min(dt, (_t.perf_counter() - t0) / REP)
+        rates[name] = {"ms_per_step": round(dt * 1e3, 3),
+                       "gdofs_per_s": round(n / dt / 1e9, 3)}
+        print(name, rates[name], flush=True)
+    record({"task": "zmxu", **rates})
+
+
 def main():
-    tasks = sys.argv[1:] or ["bench", "chain", "dma"]
-    fns = {"bench": task_bench, "chain": task_chain, "dma": task_dma}
+    tasks = sys.argv[1:] or ["bench", "chain", "dma", "zmxu"]
+    fns = {"bench": task_bench, "chain": task_chain, "dma": task_dma,
+           "zmxu": task_zmxu}
     for t in tasks:
         fence(t, fns[t])
 

@@ -253,3 +253,32 @@ class TestF32VmultKernel:
         vp = np.asarray(op_p.vmult(u))
         vx = np.asarray(op_x.vmult(u))
         assert np.abs(vp - vx).max() <= 1e-5 * np.abs(vx).max()
+
+
+class TestFZmxuVariant:
+    """F-stage z-chains folded into the Gy/Gyt MXU dots (f_zmxu=True,
+    VERDICT r4 task #5a probe): same smoother step within the bf16
+    transform-rounding class of the default kernel."""
+
+    @pytest.mark.parametrize("cells,p,om", [
+        ((4, 4, 4), 2, 1.0),
+        ((2, 3, 4), 4, 0.9),
+    ])
+    def test_matches_composed_step(self, cells, p, om):
+        from dealii_asm_tpu.ops.laplace import LaplaceOperator
+        from dealii_asm_tpu.ops.pallas.smoother_step import SmootherStepKernel
+
+        mesh = StructuredMesh(3, cells)
+        dofs = DofHandler(mesh, p)
+        op = LaplaceOperator(dofs, dtype=jnp.float32)
+        asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                                dtype=jnp.float32)
+        k = SmootherStepKernel(op, asm, f_zmxu=True)
+        assert k._f_zmxu
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(dofs.n_dofs), jnp.float32)
+        ref = np.asarray(x + om * asm.vmult(b - op.vmult(x)))
+        out = np.asarray(k.step(x, b, om, interpret=True))
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 3e-2
