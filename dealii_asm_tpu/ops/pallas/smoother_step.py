@@ -1128,6 +1128,23 @@ class SmootherStepKernel:
             self._n_wy = 0
         nxp = -(-nxt // 128) * 128
 
+        # VMEM budget estimate: the z-plane pipeline keeps three f32 plane
+        # rings (4 blocks each), a bf16 r ring, carries, and double-buffered
+        # in/out blocks resident.  Past the 100 MB Mosaic limit the kernel
+        # fails to COMPILE at runtime (first hit: 128^3 cells = (512, 512)
+        # planes, large-scaling r=7) — raise here instead so eligible-but-
+        # too-big shapes take the documented XLA fallback.
+        plane = nyp * nxp * 4
+        est = (3 * 4 * p * plane          # P1/P2/x f32 rings
+               + 2 * p * plane // 2       # r ring (bf16)
+               + 2 * plane                # FDM carries
+               + 3 * 2 * p * plane)       # x/b/out double buffers
+        if est > 88 * 1024 * 1024:
+            raise ValueError(
+                f"SmootherStepKernel: estimated VMEM {est >> 20} MiB for "
+                f"({nyp}, {nxp}) planes exceeds the Mosaic budget — "
+                "XLA composition fallback")
+
         # ---- operator tables (free masks folded on both sides) -------------
         Mxg = np.asarray(op.M1d_global[0], np.float64)
         Kxg = np.asarray(op.K1d_global[0], np.float64)
