@@ -133,10 +133,21 @@ def task_zmxu():
     record({"task": "zmxu", **rates})
 
 
+def task_protocol():
+    from experiments import probe_protocol
+
+    old = sys.argv
+    sys.argv = ["probe_protocol"]
+    try:
+        probe_protocol.main()
+    finally:
+        sys.argv = old
+
+
 def main():
     tasks = sys.argv[1:] or ["bench", "chain", "dma", "zmxu"]
     fns = {"bench": task_bench, "chain": task_chain, "dma": task_dma,
-           "zmxu": task_zmxu}
+           "zmxu": task_zmxu, "protocol": task_protocol}
     for t in tasks:
         fence(t, fns[t])
 
