@@ -97,11 +97,13 @@ def _try_attach_fused_step(smoother, op, inner, log=_noop_log):
     # across the whole sweep (matrix_free.h:420-532).
     #
     # Crossover gate: the chain only wins where its deeper VMEM rings do not
-    # eat the saved HBM round-trips.  Measured on v5e (Q4 64^3 17M, round-4
-    # toggle sweep + round-5 per-degree `>>` bench, results_r5.md): chain2
-    # -2% vs the per-step path, chain3 +6%, chain4 slower still — attach at
-    # degree 2 only.  Override with DEALII_ASM_TPU_CHAIN_DEGREES=2,3,4 to
-    # re-bench.
+    # eat the saved HBM round-trips.  Measured on v5e (Q4 64^3 17M,
+    # marginal-rate protocol, probe_protocol.py / results_r5.md): UNROLLED
+    # single-step chains pipeline across kernel launches (1.133 ms/step,
+    # at the pure-copy DMA floor) and beat the fused momentum chain at
+    # EVERY degree (chain2 1.592, chain3 1.721, chain4 1.651 ms/sub-step)
+    # — attach at no degree.  Override with
+    # DEALII_ASM_TPU_CHAIN_DEGREES=2,3,4 to re-bench.
     degree = int(getattr(smoother, "degree", 0)
                  or getattr(smoother, "n_iterations", 0))
     if degree in _chain_win_degrees() and hasattr(smoother,
@@ -146,7 +148,7 @@ def _chain_win_degrees() -> set:
     env = os.environ.get("DEALII_ASM_TPU_CHAIN_DEGREES")
     if env is not None:
         return {int(t) for t in env.split(",") if t.strip()}
-    return {2}
+    return set()
 
 
 def create_system_preconditioner(op, params: dict, log=_noop_log):
