@@ -335,8 +335,8 @@ class GeneralLaplaceOperator:
             Wh = uh[self.cell_dofs_T]
             Wl = ul[self.cell_dofs_T]
             vh, vl = self.apply_local_lanes_dd(Wh, Wl, c6dd)
-            v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
-            dst = self._tscat.apply(v, dtype=u0.dtype)
+            oh, ol = self._tscat.apply_dd(vh, vl)
+            dst = oh.astype(u0.dtype) + ol.astype(u0.dtype)
         elif self.kernel == "lanes":
             coeff6 = cf if cf else self.coeff6
             W = u0[self.cell_dofs_T]  # (L, C), cells on lanes

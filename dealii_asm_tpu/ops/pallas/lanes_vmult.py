@@ -285,8 +285,11 @@ class LanesDDVmultKernel:
             Wh = uhp[self.gather_tab]
             Wl = ulp[self.gather_tab]
             vh, vl = self._pallas(Wh, Wl, *coeff_tabs)
-        v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
-        return self._tscat.apply(v, dtype=jnp.float64)
+            # scatter in the dd pair (TwoSum-compensated f32): the f64
+            # spelling gathered 8-byte values + ran emulated-f64 adds and
+            # dominated the matvec (probe_ball_anatomy)
+            oh, ol = self._tscat.apply_dd(vh, vl)
+        return oh.astype(jnp.float64) + ol.astype(jnp.float64)
 
     def vmult_f64(self, uh, ul, coeff_tabs=None):
         return self._vmult_j(uh, ul, *(coeff_tabs or self.coeff_tabs))

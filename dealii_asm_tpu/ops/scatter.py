@@ -4,22 +4,23 @@ Every unstructured-path kernel ends in "scatter local values back to global
 DoFs" (the reference's `distribute_local_to_global`,
 /root/reference/include/vector_access_reduced.h:407-548, conflict-free by
 SIMD-lane transposes).  The direct JAX spelling `zeros.at[idx].add(v)` is an
-XLA scatter with colliding indices, which TPU lowers to a *serialized*
-update loop — measured seconds per apply at 16M updates (ball L=5), and the
-reason the unstructured V-cycle ran ~50x slower than the structured one.
-
-The TPU-native form inverts the map ONCE on the host: for each global dof,
-the (padded) list of source slots that contribute to it.  The device op is
-then K dense gathers + adds — pure streaming, no conflicts:
+XLA scatter with colliding indices; the transpose form inverts the map ONCE
+on the host — for each global dof, the (padded) list of source slots that
+contribute to it — and the device op becomes K dense gathers + adds, pure
+streaming with no conflict resolution:
 
     out[d] = sum_k v_flat_padded[tab[d, k]]
 
 with `tab[d, k] = S` (a zero pad slot) beyond dof d's contribution count.
-Most dofs have one contributor (cell-interior nodes); the width K is the
-max valence (8 for regular vertices).  To avoid K full passes when only a
-few dofs are shared, the table is split into the always-present first
-contribution and a *sorted tail*: dofs are ranked by contribution count so
-columns k>=1 only gather over the prefix that still has contributors.
+K is the max valence (8 for regular vertices; most dofs are cell-interior
+with one contributor, whose k >= 1 gathers hit the pad slot — wasted loads
+that measured CHEAPER than any bookkeeping to skip them: a count-ranked
+prefix variant paid K whole-array dynamic-update-slices and lost).
+
+``apply_dd`` accumulates a double-single (hi, lo) pair with TwoSum
+compensation entirely in f32 — the f64 spelling gathered 8-byte values and
+ran the K-term adds in emulated f64, which dominated the unstructured f64
+matvec's cost at ball L=3 (probe_ball_anatomy).
 """
 
 from __future__ import annotations
@@ -59,26 +60,12 @@ class TransposeScatter:
         starts = np.zeros(n_dofs + 1, np.int64)
         np.cumsum(counts, out=starts[1:])
 
-        # rank dofs by contribution count (descending, stable) so that the
-        # k-th column's non-pad entries form a contiguous prefix
-        rank_order = np.argsort(-counts, kind="stable")  # dof of each rank
-        self._rank_of_dof = np.empty(n_dofs, np.int64)
-        self._rank_of_dof[rank_order] = np.arange(n_dofs)
-
         tab = np.full((n_dofs, K), S, dtype=np.int64)
         k_of = np.arange(t_sorted.shape[0]) - starts[t_sorted]
         tab[t_sorted, k_of] = s_sorted
-        tab = tab[rank_order]  # row r = rank-r dof's sources
-
-        counts_ranked = counts[rank_order]
-        # prefix length for column k: number of dofs with count > k
-        self.col_len = [int((counts_ranked > k).sum()) for k in range(K)]
         self.K = K
-
-        self.tab_cols = [jnp.asarray(tab[: self.col_len[k], k],
+        self.tab_cols = [jnp.asarray(np.ascontiguousarray(tab[:, k]),
                                      jnp.int32) for k in range(K)]
-        self.unrank = jnp.asarray(rank_order, jnp.int32)  # rank -> dof
-        self.rank = jnp.asarray(self._rank_of_dof, jnp.int32)  # dof -> rank
 
     def apply(self, v, dtype=None):
         """sum-scatter the flat source values ``v`` (shape (n_slots,) after
@@ -88,17 +75,25 @@ class TransposeScatter:
             v = v.astype(dtype)
         vpad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
         out = vpad[self.tab_cols[0]]
-        # out currently holds column 0 over ALL ranks (col_len[0] == n_dofs
-        # for tables where every dof has >= 1 contributor; shorter otherwise)
-        if self.col_len[0] < self.n_dofs:
-            out = jnp.concatenate(
-                [out, jnp.zeros(self.n_dofs - self.col_len[0], v.dtype)])
         for k in range(1, self.K):
-            nk = self.col_len[k]
-            add = vpad[self.tab_cols[k]]
-            out = out.at[:nk].set(out[:nk] + add) if nk < self.n_dofs \
-                else out + add
-        return out[self.rank]
+            out = out + vpad[self.tab_cols[k]]
+        return out
 
-    # `out.at[:nk].set` above is a static-slice update (not a scatter): XLA
-    # lowers it to a concatenate of the updated prefix and untouched tail.
+    def apply_dd(self, vh, vl):
+        """sum-scatter a double-single (hi, lo) f32 pair with TwoSum
+        compensation; returns the (hi, lo) f32 result pair."""
+        vh = vh.reshape(-1)
+        vl = vl.reshape(-1)
+        zh = jnp.zeros((1,), vh.dtype)
+        hpad = jnp.concatenate([vh, zh])
+        lpad = jnp.concatenate([vl, zh])
+        oh = hpad[self.tab_cols[0]]
+        ol = lpad[self.tab_cols[0]]
+        for k in range(1, self.K):
+            bh = hpad[self.tab_cols[k]]
+            s = oh + bh
+            t = s - oh
+            e = (oh - (s - t)) + (bh - t)  # TwoSum error term
+            oh = s
+            ol = ol + (e + lpad[self.tab_cols[k]])
+        return oh, ol

@@ -65,3 +65,19 @@ def test_dtype_cast():
     out = ts.apply(jnp.asarray(v), dtype=jnp.float64)
     assert out.dtype == jnp.float64
     np.testing.assert_allclose(np.asarray(out), [1.0, 5.0, 4.0, 0.0])
+
+
+def test_apply_dd_matches_f64():
+    rng = np.random.default_rng(5)
+    n, S = 211, 997
+    idx = rng.integers(0, n, size=(S,))
+    v64 = rng.standard_normal(S)
+    vh = v64.astype(np.float32)
+    vl = (v64 - vh.astype(np.float64)).astype(np.float32)
+    ts = TransposeScatter(idx, n)
+    oh, ol = ts.apply_dd(jnp.asarray(vh), jnp.asarray(vl))
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    ref = np.zeros(n)
+    np.add.at(ref, idx, v64)
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(got - ref).max() < 1e-13 * scale
