@@ -67,13 +67,46 @@ class TransposeScatter:
         self.tab_cols = [jnp.asarray(np.ascontiguousarray(tab[:, k]),
                                      jnp.int32) for k in range(K)]
 
-    def apply(self, v, dtype=None):
+        # ranked-compact variant: dofs ordered by descending contribution
+        # count, so tail columns gather only over the shared-dof prefix;
+        # one final unrank gather restores dof order.  Wins when most dofs
+        # have a single contributor (cell-interior nodes).
+        rank_order = np.argsort(-counts, kind="stable")  # rank -> dof
+        rank_of = np.empty(n_dofs, np.int64)
+        rank_of[rank_order] = np.arange(n_dofs)
+        tab_r = tab[rank_order]
+        counts_r = counts[rank_order]
+        self.n_shared = int((counts_r > 1).sum()) if K > 1 else 0
+        # column 0 full width; tail columns fixed at the shared-dof prefix
+        # length (pad-slot entries beyond each column's true count)
+        self.rank_cols = [jnp.asarray(np.ascontiguousarray(tab_r[:, 0]),
+                                      jnp.int32)]
+        self.rank_cols += [jnp.asarray(
+            np.ascontiguousarray(tab_r[: self.n_shared, k]), jnp.int32)
+            for k in range(1, K)]
+        self.unrank = jnp.asarray(rank_of, jnp.int32)  # dof -> rank
+
+    def apply(self, v, dtype=None, variant: str = "full"):
         """sum-scatter the flat source values ``v`` (shape (n_slots,) after
-        reshape) into a dense (n_dofs,) vector."""
+        reshape) into a dense (n_dofs,) vector.
+
+        variant: "full" (K full-width gather columns), "ranked" (tail
+        columns gather only the shared-dof prefix + one unrank gather),
+        "2d" (one (n, K) gather + row sum)."""
         v = v.reshape(-1)
         if dtype is not None:
             v = v.astype(dtype)
         vpad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        if variant == "ranked":
+            n2 = self.n_shared
+            out = vpad[self.rank_cols[0]]
+            head = out[:n2]
+            for k in range(1, self.K):
+                head = head + vpad[self.rank_cols[k]]
+            return jnp.concatenate([head, out[n2:]])[self.unrank]
+        if variant == "2d":
+            tab2d = jnp.stack(self.tab_cols, axis=1)
+            return vpad[tab2d].sum(axis=1)
         out = vpad[self.tab_cols[0]]
         for k in range(1, self.K):
             out = out + vpad[self.tab_cols[k]]

@@ -123,16 +123,21 @@ def main():
     if "scatter" in sections:
         v0 = jax.device_put(np.random.randn(*idxT.shape).astype(np.float32))
 
-        @jax.jit
-        def s_new(v):
-            def body(c, _):
-                dst = op._tscat.apply(v + c[0], dtype=jnp.float32)
-                return (c[0] + 1.0, dst), None
-            (_, dst), _ = jax.lax.scan(
-                body, (jnp.float32(0.0), jnp.zeros(n, jnp.float32)),
-                None, length=REP)
-            return dst
-        timed("scatter-new", lambda: s_new(v0), n, REP, lambda o: float(o[0]))
+        for variant in ("full", "ranked", "2d"):
+            @jax.jit
+            def s_new(v, _var=variant):
+                def body(c, _):
+                    dst = op._tscat.apply(v + c[0], dtype=jnp.float32,
+                                          variant=_var)
+                    return (c[0] + 1.0, dst), None
+                (_, dst), _ = jax.lax.scan(
+                    body, (jnp.float32(0.0), jnp.zeros(n, jnp.float32)),
+                    None, length=REP)
+                return dst
+            timed(f"scat-{variant}", lambda: s_new(v0), n, REP,
+                  lambda o: float(o[0]))
+        print(f"(op table K={op._tscat.K}, shared={op._tscat.n_shared}"
+              f"/{n})", flush=True)
 
         @jax.jit
         def s_old(v, idxT):

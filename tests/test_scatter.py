@@ -81,3 +81,15 @@ def test_apply_dd_matches_f64():
     np.add.at(ref, idx, v64)
     scale = np.abs(ref).max() + 1.0
     assert np.abs(got - ref).max() < 1e-13 * scale
+
+
+@pytest.mark.parametrize("variant", ["full", "ranked", "2d"])
+def test_variants_match(variant):
+    rng = np.random.default_rng(6)
+    n = 157
+    idx = rng.integers(0, n + 1, size=(61, 7))
+    v = rng.standard_normal(idx.shape)
+    ts = TransposeScatter(idx, n)
+    np.testing.assert_allclose(
+        np.asarray(ts.apply(jnp.asarray(v), variant=variant)),
+        np.asarray(_oracle(jnp.asarray(v), idx, n)), rtol=1e-13, atol=1e-13)
