@@ -60,13 +60,6 @@ class GeneralTwoLevelTransfer:
         np.add.at(counts, fine_lat.reshape(-1), 1.0)
         counts[counts == 0] = 1.0
         self.fine_inv_valence = jnp.asarray(1.0 / counts, dtype)
-        # scatter-back as transpose gathers (ops/scatter.py): colliding
-        # .at[].add scatters serialize on TPU
-        from .scatter import TransposeScatter
-
-        self._tscat_fine = TransposeScatter(fine_lat, fine.n_dofs)
-        self._tscat_coarse = TransposeScatter(np.asarray(coarse.cell_dofs),
-                                              coarse.n_dofs)
         self.fine_constrained = jnp.asarray(fine.boundary_mask)
         self.coarse_constrained = jnp.asarray(coarse.boundary_mask)
         self.n_fine = fine.n_dofs
@@ -139,7 +132,8 @@ class GeneralTwoLevelTransfer:
         u = jnp.where(self.coarse_constrained, 0.0, u_coarse)
         uc = u[self.coarse_cd]
         vf = self._interp(uc)
-        out = self._tscat_fine.apply(vf, dtype=u.dtype)
+        out = jnp.zeros(self.n_fine, u.dtype).at[
+            self.fine_lat.reshape(-1)].add(vf.reshape(-1))
         out = out * self.fine_inv_valence
         return jnp.where(self.fine_constrained, 0.0, out)
 
@@ -153,7 +147,8 @@ class GeneralTwoLevelTransfer:
         r = jnp.where(self.fine_constrained, 0.0, r_fine)
         rw = (r * self.fine_inv_valence)[self.fine_lat]
         vc = self._interp_t(rw)
-        out = self._tscat_coarse.apply(vc, dtype=r.dtype)
+        out = jnp.zeros(self.n_coarse, r.dtype).at[
+            self.coarse_cd.reshape(-1)].add(vc.reshape(-1))
         return jnp.where(self.coarse_constrained, 0.0, out)
 
     def prolongate(self, u_coarse):

@@ -135,14 +135,6 @@ class GeneralASMPreconditioner:
                                         self.dim, dtype)
         self.patch_idx_T = jnp.asarray(
             np.ascontiguousarray(idx.astype(np.int32).T))
-        # scatter-back as transpose gathers (ops/scatter.py): colliding
-        # .at[].add scatters serialize on TPU.  The patch-major table is
-        # built lazily — the lanes path is the production layout.
-        from ..ops.scatter import TransposeScatter
-
-        self._tscat_T = TransposeScatter(idx.T, n)
-        self._tscat_lazy = None
-        self._idx_np = idx
         self.ras_mask_T = None
         if self.ras_mask is not None:
             self.ras_mask_T = jnp.asarray(
@@ -189,17 +181,15 @@ class GeneralASMPreconditioner:
             y = fdm_apply_lanes(W, self.m, self.dim, *self.lanes)
             if self.ras_mask_T is not None:
                 y = y * self.ras_mask_T
-            dst = self._tscat_T.apply(y, dtype=x.dtype)
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx_T.reshape(-1)].add(y.reshape(-1))[:-1]
         else:
             xp = xpad[self.patch_idx]
             y = self._fdm_apply(xp)
             if self.ras_mask is not None:
                 y = y * self.ras_mask
-            if self._tscat_lazy is None:
-                from ..ops.scatter import TransposeScatter
-
-                self._tscat_lazy = TransposeScatter(self._idx_np, self.n_dofs)
-            dst = self._tscat_lazy.apply(y, dtype=x.dtype)
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
+                self.patch_idx.reshape(-1)].add(y.reshape(-1))[:-1]
         if self.weighting_type in ("post", "symm"):
             dst = dst * w
         return dst

@@ -123,12 +123,15 @@ def main():
     if "scatter" in sections:
         v0 = jax.device_put(np.random.randn(*idxT.shape).astype(np.float32))
 
+        from dealii_asm_tpu.ops.scatter import TransposeScatter
+
+        tscat = TransposeScatter(np.asarray(op.dofs.cell_dofs).T, n)
         for variant in ("full", "ranked", "2d"):
             @jax.jit
             def s_new(v, _var=variant):
                 def body(c, _):
-                    dst = op._tscat.apply(v + c[0], dtype=jnp.float32,
-                                          variant=_var)
+                    dst = tscat.apply(v + c[0], dtype=jnp.float32,
+                                      variant=_var)
                     return (c[0] + 1.0, dst), None
                 (_, dst), _ = jax.lax.scan(
                     body, (jnp.float32(0.0), jnp.zeros(n, jnp.float32)),
@@ -136,8 +139,25 @@ def main():
                 return dst
             timed(f"scat-{variant}", lambda: s_new(v0), n, REP,
                   lambda o: float(o[0]))
-        print(f"(op table K={op._tscat.K}, shared={op._tscat.n_shared}"
-              f"/{n})", flush=True)
+        print(f"(op table K={tscat.K}, shared={tscat.n_shared}/{n})",
+              flush=True)
+
+        # f64 scatter-add (the dd path's single collapse scatter)
+        v64 = jax.device_put(np.random.randn(*idxT.shape))
+
+        @jax.jit
+        def s_old64(v, idxT):
+            flat = idxT.reshape(-1)
+            def body(c, _):
+                dst = jnp.zeros(n, jnp.float64).at[flat].add(
+                    (v + c[0]).reshape(-1))
+                return (c[0] + 1.0, dst), None
+            (_, dst), _ = jax.lax.scan(
+                body, (jnp.float64(0.0), jnp.zeros(n, jnp.float64)),
+                None, length=REP)
+            return dst
+        timed("scatter-f64", lambda: s_old64(v64, idxT), n, REP,
+              lambda o: float(o[0]))
 
         @jax.jit
         def s_old(v, idxT):

@@ -63,7 +63,8 @@ def test_matches_xla_dd_composition():
     Wl = ul[lanes.cell_dofs_T]
     vh, vl = lanes.apply_local_lanes_dd(Wh, Wl, c6dd)
     v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
-    ref = np.asarray(lanes._tscat.apply(v, dtype=jnp.float64))
+    ref = np.asarray(jnp.zeros(dh.n_dofs, jnp.float64).at[
+        lanes.cell_dofs_T.reshape(-1)].add(v.reshape(-1)))
 
     got = np.asarray(kern.vmult_f64(uh, ul))
     np.testing.assert_allclose(got, ref, rtol=0,
