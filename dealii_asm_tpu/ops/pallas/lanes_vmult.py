@@ -281,14 +281,30 @@ class LanesDDVmultKernel:
             Wh = uhp[self.gather_tab]
             Wl = ulp[self.gather_tab]
             vh, vl = self._pallas(Wh, Wl, *coeff_tabs)
-        # ONE f64 colliding scatter-add over the kernel-layout slots (pad
-        # slots carry the n_dofs sentinel -> dropped via the n+1 trick).
-        # XLA TPU's native scatter measured 3-4x faster than any
-        # transpose-gather spelling (probe_ball_anatomy r5).
+        # Scatter-back (pad slots carry the n_dofs sentinel -> dropped via
+        # the n+1 trick).  XLA TPU's native colliding scatter measured
+        # 3-4x faster than any transpose-gather spelling, but the f64
+        # spelling is 11x slower than f32 (192 vs 17 ms at 2M slots,
+        # probe_ball_anatomy r5).  On device the hi/lo components scatter
+        # as TWO f32 passes and combine in f64 — per-dof summation error
+        # ~K·2^-24 ~ 5e-7 relative (vs ~1e-14 dd): an operator
+        # perturbation two orders below the outer rel-1e-5 tolerance,
+        # E2E-iteration-checked.  CPU/interpret (and
+        # DEALII_ASM_TPU_DD_SCATTER=f64) keep the exact f64 scatter.
+        import os as _os
+
+        mode = _os.environ.get("DEALII_ASM_TPU_DD_SCATTER",
+                               "f64" if self.interpret else "2xf32")
+        flat = self.gather_tab.reshape(-1)
+        if mode == "2xf32":
+            sh = jnp.zeros(self.n_dofs + 1, jnp.float32).at[flat].add(
+                vh.reshape(-1))[:-1]
+            sl = jnp.zeros(self.n_dofs + 1, jnp.float32).at[flat].add(
+                vl.reshape(-1))[:-1]
+            return sh.astype(jnp.float64) + sl.astype(jnp.float64)
         v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
-        dst = jnp.zeros(self.n_dofs + 1, jnp.float64).at[
-            self.gather_tab.reshape(-1)].add(v.reshape(-1))[:-1]
-        return dst
+        return jnp.zeros(self.n_dofs + 1, jnp.float64).at[flat].add(
+            v.reshape(-1))[:-1]
 
     def vmult_f64(self, uh, ul, coeff_tabs=None):
         return self._vmult_j(uh, ul, *(coeff_tabs or self.coeff_tabs))
