@@ -348,6 +348,48 @@ class GeneralLaplaceOperator:
                 v.reshape(-1))
         return jnp.where(self.constrained, u, dst)
 
+    @property
+    def supports_dd(self) -> bool:
+        """True when vmult_dd is available (dd-pair outer Krylov loops)."""
+        return getattr(self, "_lanes_dd_pallas", None) is not None
+
+    def vmult_dd(self, uh, ul):
+        """A·u on a double-single pair (hi, lo f32) — the dd-CG matvec.
+
+        Same arithmetic as the f64 vmult's fused-kernel path but WITHOUT
+        the f64<->dd conversions and f64 masking around it (each an
+        emulated-f64 pass; the all-dd outer CG keeps state in f32 pairs
+        end-to-end — the structured operator's contract, laplace.py).
+        Constrained rows are identity."""
+        assert self.supports_dd
+        kern = self._lanes_dd_pallas
+        free = ~self.constrained
+        u0h = jnp.where(free, uh, 0.0).astype(jnp.float32)
+        u0l = jnp.where(free, ul, 0.0).astype(jnp.float32)
+        from jax._src.config import enable_x64 as _enable_x64
+
+        with _enable_x64(False):
+            uhp = jnp.concatenate([u0h, jnp.zeros((1,), jnp.float32)])
+            ulp = jnp.concatenate([u0l, jnp.zeros((1,), jnp.float32)])
+            Wh = uhp[kern.gather_tab]
+            Wl = ulp[kern.gather_tab]
+            vh, vl = kern._pallas(Wh, Wl, *kern.coeff_tabs)
+        flat = kern.gather_tab.reshape(-1)
+        if kern.interpret:
+            # CPU: exact f64 scatter, re-split (native f64 is cheap)
+            from .ddmath import dd_from_f64
+
+            v = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+            s = jnp.zeros(self.n_dofs + 1, jnp.float64).at[flat].add(
+                v.reshape(-1))[:-1]
+            sh, sl = dd_from_f64(s)
+        else:
+            sh = jnp.zeros(self.n_dofs + 1, jnp.float32).at[flat].add(
+                vh.reshape(-1))[:-1]
+            sl = jnp.zeros(self.n_dofs + 1, jnp.float32).at[flat].add(
+                vl.reshape(-1))[:-1]
+        return jnp.where(free, sh, uh), jnp.where(free, sl, ul)
+
     def vmult(self, u):
         import jax.core as _core
 

@@ -87,3 +87,24 @@ def test_gather_table_layout():
     # pads carry the zero-slot sentinel
     assert (tab[m * m:, :] == dh.n_dofs).all()
     assert (tab[:, C * m:] == dh.n_dofs).all()
+
+
+def test_vmult_dd_matches_vmult():
+    # the all-dd outer CG matvec (supports_dd contract, laplace.py parity)
+    mesh = hyper_ball_balanced(3)
+    dh = GeneralDofHandler(mesh, 3)
+    op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    assert op.supports_dd
+    from dealii_asm_tpu.ops.ddmath import dd_from_f64
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(dh.n_dofs))
+    xh, xl = dd_from_f64(x)
+    # top-level compile with the CPU EFT-exact options (interpret-mode dd
+    # degrades under XLA:CPU's fusion pass; production Mosaic is exact)
+    vh, vl = jax.jit(op.vmult_dd,
+                     compiler_options=op._lanes_dd_pallas.jopts)(xh, xl)
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    ref = np.asarray(op.vmult(x))
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=5e-13 * np.abs(ref).max())
