@@ -206,6 +206,127 @@ def mg_level_layout(precon_p: dict, family, fe_degree: int,
     return levels, intermediate
 
 
+def _build_sharded_general(precon_p: dict, family, fe_degree: int,
+                           op64, log, level_dtype, dtype, n_devices: int):
+    """Sharded-unstructured Multigrid: finest level SPMD over a 1D device
+    mesh (parallel/general_sharded.py), every coarser level replicated —
+    the P1/P3-for-any-mesh-family path (reference: p4est SFC partitioning
+    + shrinking coarse sub-communicators)."""
+    import jax as _jax
+    from jax.sharding import Mesh as _Mesh
+
+    from ..parallel.general_sharded import (GeneralPartition,
+                                            ShardedGeneralASM,
+                                            ShardedGeneralOperator,
+                                            ShardedGeneralTransfer)
+    from ..precond.asm_general import GeneralASMPreconditioner
+    from ..solvers.chebyshev import ChebyshevPreconditioner, eig_initial_guess
+
+    jmesh = _Mesh(np.array(_jax.devices()[:n_devices]), ("dev",))
+    levels, intermediate = mg_level_layout(precon_p, family, fe_degree, log)
+    prec = "highest" if level_dtype != jnp.float64 else None
+    ops, dofs_list = [], []
+    for r, d in levels:
+        mesh = family.mesh_at(r)
+        dofs = _make_dofs(family, mesh, d)
+        ops.append(_make_operator(family, dofs, level_dtype,
+                                  matmul_precision=prec))
+        dofs_list.append(dofs)
+        log(f"- Create operator:\n  - n cells:          "
+            f"{mesh.n_cells_total}\n  - n dofs:           {dofs.n_dofs}\n")
+    transfers = [_make_transfer(family, dofs_list[i], dofs_list[i + 1],
+                                level_dtype, matmul_precision=prec)
+                 for i in range(len(levels) - 1)]
+
+    smoother_p = get_child(precon_p, "mg smoother")
+    coarse_p = get_child(precon_p, "mg coarse grid solver")
+    one_sided = get_param(precon_p, "one-sided v-cycle", False)
+
+    fine_dofs = dofs_list[-1]
+    part = GeneralPartition(fine_dofs, n_devices)
+    log(f" - n devices:  {n_devices} (sharded unstructured fine level; "
+        f"B={part.B}, ghosts<={part.Gmax})")
+
+    sop64 = ShardedGeneralOperator(op64, part, jmesh)
+    sop32 = ShardedGeneralOperator(ops[-1], part, jmesh)
+
+    inner_p = get_child(smoother_p, "preconditioner")
+    if (inner_p.get("type") != "FDM"
+            or int(get_param(inner_p, "n overlap", 1)) != 1
+            or not get_param(inner_p, "element centric", True)):
+        raise ValueError("sharded unstructured fine smoother supports "
+                         "element-centric FDM overlap 1")
+    asm = GeneralASMPreconditioner(
+        fine_dofs, n_overlap=1,
+        weighting_type=get_param(inner_p, "weighting type", "symm"),
+        dtype=level_dtype)
+    sasm = ShardedGeneralASM(asm, part, jmesh)
+
+    class _STransfer:
+        def __init__(self, st):
+            self._st = st
+
+        def restrict(self, r):
+            return self._st.restrict_blocked(r)
+
+        def prolongate(self, uc):
+            return self._st.prolongate_blocked(uc)
+
+    stransfer = _STransfer(ShardedGeneralTransfer(transfers[-1], part, jmesh))
+
+    b0 = part.pad(eig_initial_guess(
+        fine_dofs.n_dofs, np.asarray(fine_dofs.boundary_mask)))
+    log("- Setting up smoother on the sharded fine level\n")
+    cheb = ChebyshevPreconditioner(
+        sop32.vmult_blocked, sasm.vmult_blocked, part.NB,
+        degree=int(get_param(smoother_p, "degree", 1)),
+        polynomial_type=get_param(smoother_p, "polynomial type", "1st kind"),
+        eig_b0=b0)
+
+    # replicated sub-hierarchy (levels[:-1]) incl. optional intermediate
+    # split — same construction as _build_multigrid on the truncated list
+    def make_smoother(level: int, p: dict):
+        log(f"- Setting up smoother on level {level}\n")
+        return create_system_preconditioner(ops[level], p, log)
+
+    interm_p = get_child(precon_p, "mg intermediate smoother")
+    if not interm_p.get("type"):
+        interm_p = smoother_p
+    log("- Setting up coarse-grid solver on level 0\n")
+    coarse = create_system_preconditioner(ops[0], coarse_p, log)
+    if intermediate > 0:
+        inner_smoothers = [make_smoother(l, interm_p)
+                           for l in range(1, intermediate + 1)]
+        inner = Multigrid([o.vmult for o in ops[: intermediate + 1]],
+                          inner_smoothers, transfers[:intermediate],
+                          coarse.vmult, one_sided=one_sided)
+        mid_smoothers = [make_smoother(l, smoother_p)
+                         for l in range(intermediate + 1, len(levels) - 1)]
+        mg = Multigrid(
+            [o.vmult for o in ops[intermediate:-1]]
+            + [sop32.vmult_blocked],
+            mid_smoothers + [cheb],
+            transfers[intermediate:-1] + [stransfer],
+            inner.vmult, one_sided=one_sided)
+    else:
+        smoothers = [make_smoother(l, smoother_p)
+                     for l in range(1, len(levels) - 1)] + [cheb]
+        mg = Multigrid([o.vmult for o in ops[:-1]] + [sop32.vmult_blocked],
+                       smoothers, transfers[:-1] + [stransfer],
+                       coarse.vmult, one_sided=one_sided)
+
+    class _Ctx:
+        pass
+
+    ctx = _Ctx()
+    ctx.mg = mg
+    ctx.pad = part.pad
+    ctx.unpad = part.unpad
+    ctx.vmult = lambda u: sop64.vmult_blocked(u)
+    ctx.part = part
+    return ctx
+
+
 def _build_multigrid(params: dict, family: MeshFamily, fe_degree: int,
                      fine_op: LaplaceOperator, log, dtype) -> Multigrid:
     precon_p = params
@@ -301,11 +422,6 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         n_devices = int(n_dev_param)
     sharded = None
     if n_devices > 1:
-        if isinstance(family, GeneralMeshFamily):
-            raise ValueError(
-                "'n devices' > 1 requires a structured mesh family (the "
-                "unstructured gather paths shard via XLA SPMD instead — see "
-                "tests/test_sharding.py::test_unstructured_ball_sharded)")
         if ptype != "Multigrid":
             raise ValueError("'n devices' > 1 supports Multigrid "
                              "preconditioners")
@@ -322,7 +438,18 @@ def run_config(params: dict, table: ConvergenceTable | None = None,
         level_dtype = {"": dtype, "float64": _jnp.float64,
                        "float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[
             get_param(params, "mg number type", default_lt)]
-        if n_devices > 1:
+        if n_devices > 1 and isinstance(family, GeneralMeshFamily):
+            sharded = _build_sharded_general(
+                precon_p, family, fe_degree, op, log, level_dtype, dtype,
+                n_devices)
+            precon = sharded.mg
+            if level_dtype != dtype:
+                from ..precond.adapter import PrecisionAdapter
+
+                mg_inner = precon
+                precon = PrecisionAdapter(mg_inner, level_dtype)
+                precon.timer = mg_inner.timer
+        elif n_devices > 1:
             from ..parallel.driver import build_sharded_multigrid
 
             log(f" - n devices:  {n_devices} (explicit-halo sharding)")

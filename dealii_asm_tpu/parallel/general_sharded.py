@@ -85,65 +85,83 @@ class GeneralPartition:
                             + np.arange(n) - self.offsets[dev_of_new])
         self.NB = self.n_dev * self.B
 
-        # per-device cell tables in new numbering, padded to Cmax cells
-        self.Cmax = int((bounds[1:] - bounds[:-1]).max())
-        L = cd.shape[1]
-        self.L = L
-        cd_new_slot = self.slot_of_new[self.new_of_old[cd]]  # (C, L) padded-slot ids
-
-        # ghosts: per device, padded-slots touched but not owned
-        self.ghost_slots = []   # global padded-slot ids, sorted
-        gmax = 1
-        for d in range(self.n_dev):
-            cells = cd_new_slot[bounds[d]: bounds[d + 1]]
-            lo, hi = d * self.B, d * self.B + self.B
-            g = np.unique(cells[(cells < lo) | (cells >= hi)])
-            self.ghost_slots.append(g)
-            gmax = max(gmax, len(g))
-        self.Gmax = gmax
-
-        # per-device local gather tables (L, Cmax·?) — lane-major (L, C_d):
-        # local index: own slot -> [0, B); ghost g -> B + pos; pad cell ->
-        # B + Gmax (zero slot)
-        n_loc = self.B + self.Gmax
-        self.n_loc = n_loc
-        gtab = np.full((self.n_dev, L, self.Cmax), n_loc, np.int64)
-        for d in range(self.n_dev):
-            cells = cd_new_slot[bounds[d]: bounds[d + 1]]  # (C_d, L)
-            lo = d * self.B
-            local = np.where(
-                (cells >= lo) & (cells < lo + self.B), cells - lo,
-                self.B + np.searchsorted(self.ghost_slots[d], cells))
-            gtab[d, :, : cells.shape[0]] = local.T
-        self.gather_tab = jnp.asarray(gtab, jnp.int32)  # (D, L, Cmax)
-
-        # fetch table: local value i (< B: own; else ghost) -> padded-slot
-        # id into the all_gathered (NB,) vector; zero slot -> NB
-        ftab = np.full((self.n_dev, n_loc + 1), self.NB, np.int64)
-        for d in range(self.n_dev):
-            ftab[d, : self.B] = d * self.B + np.arange(self.B)
-            ftab[d, self.B: self.B + len(self.ghost_slots[d])] = \
-                self.ghost_slots[d]
-        self.fetch_tab = jnp.asarray(ftab, jnp.int32)  # (D, n_loc+1)
-
-        # receive table: entry (src_dev·Gmax + k) of the all_gathered ghost
-        # blocks -> OWN local index on this device (or sentinel B)
-        rtab = np.full((self.n_dev, self.n_dev * self.Gmax), self.B,
-                       np.int64)
-        for src in range(self.n_dev):
-            g = self.ghost_slots[src]
-            own_dev = g // self.B
-            own_idx = g - own_dev * self.B
-            for dst in range(self.n_dev):
-                sel = own_dev == dst
-                rtab[dst, src * self.Gmax + np.nonzero(sel)[0]] = \
-                    own_idx[sel]
-        self.recv_tab = jnp.asarray(rtab, jnp.int32)  # (D, D·Gmax)
-
         # constrained mask / any global vector, in padded-block layout
         self._pad_perm = np.full(self.NB, n, np.int64)
         self._pad_perm[self.slot_of_new] = self.old_of_new
         self._unpad_perm = self.slot_of_new[self.new_of_old]
+
+        # per-device tables for the cell map (the operator's slot table)
+        self.cells = self.slot_tables(cd, bounds)
+        # convenience aliases (the operator's tables)
+        self.Cmax = self.cells.Smax
+        self.L = cd.shape[1]
+        self.Gmax = self.cells.Gmax
+        self.n_loc = self.cells.n_loc
+        self.gather_tab = self.cells.gather_tab
+        self.fetch_tab = self.cells.fetch_tab
+        self.recv_tab = self.cells.recv_tab
+
+    def slot_tables(self, idx_np, bounds=None):
+        """Per-device gather/fetch/recv tables for an arbitrary slot map.
+
+        idx_np: (S, L) old-numbering dof targets (entries >= n_dofs are
+        pads -> zero slot).  bounds: (D+1,) contiguous split of the S axis
+        (default: balanced)."""
+        idx = np.asarray(idx_np, np.int64)
+        S, L = idx.shape
+        n = self.n_dofs
+        if bounds is None:
+            bounds = np.linspace(0, S, self.n_dev + 1).astype(np.int64)
+        t = type("SlotTables", (), {})()
+        t.bounds = bounds
+        t.Smax = int((bounds[1:] - bounds[:-1]).max())
+        t.L = L
+
+        # old -> padded-slot ids, with an invalid sentinel channel
+        slot_of_old = np.concatenate(
+            [self.slot_of_new[self.new_of_old], [self.NB]])
+        idx_slot = slot_of_old[np.minimum(idx, n)]  # (S, L); invalid -> NB
+
+        ghost_slots = []
+        gmax = 1
+        for d in range(self.n_dev):
+            rows = idx_slot[bounds[d]: bounds[d + 1]]
+            lo, hi = d * self.B, d * self.B + self.B
+            g = np.unique(rows[((rows < lo) | (rows >= hi))
+                               & (rows < self.NB)])
+            ghost_slots.append(g)
+            gmax = max(gmax, len(g))
+        t.Gmax = gmax
+        n_loc = self.B + t.Gmax
+        t.n_loc = n_loc
+        gtab = np.full((self.n_dev, L, t.Smax), n_loc, np.int64)
+        for d in range(self.n_dev):
+            rows = idx_slot[bounds[d]: bounds[d + 1]]  # (S_d, L)
+            lo = d * self.B
+            local = np.where(
+                (rows >= lo) & (rows < lo + self.B), rows - lo,
+                np.where(rows >= self.NB, n_loc,
+                         self.B + np.searchsorted(ghost_slots[d], rows)))
+            gtab[d, :, : rows.shape[0]] = local.T
+        t.gather_tab = jnp.asarray(gtab, jnp.int32)  # (D, L, Smax)
+
+        ftab = np.full((self.n_dev, n_loc + 1), self.NB, np.int64)
+        for d in range(self.n_dev):
+            ftab[d, : self.B] = d * self.B + np.arange(self.B)
+            ftab[d, self.B: self.B + len(ghost_slots[d])] = ghost_slots[d]
+        t.fetch_tab = jnp.asarray(ftab, jnp.int32)  # (D, n_loc+1)
+
+        rtab = np.full((self.n_dev, self.n_dev * t.Gmax), self.B, np.int64)
+        for src in range(self.n_dev):
+            g = ghost_slots[src]
+            own_dev = g // self.B
+            own_idx = g - own_dev * self.B
+            for dst in range(self.n_dev):
+                sel = own_dev == dst
+                rtab[dst, src * t.Gmax + np.nonzero(sel)[0]] = own_idx[sel]
+        t.recv_tab = jnp.asarray(rtab, jnp.int32)  # (D, D·Gmax)
+        t.ghost_slots = ghost_slots
+        return t
 
     def pad(self, u):
         """global (n,) old-numbering -> (NB,) padded owner-blocked."""
@@ -260,3 +278,178 @@ class ShardedGeneralOperator:
     def vmult_global(self, u):
         """(n,) old numbering in/out — the equality-test wrapper."""
         return self.part.unpad(self.vmult_blocked(self.part.pad(u)))
+
+
+class ShardedGeneralASM:
+    """Sharded twin of GeneralASMPreconditioner (lanes FDM apply).
+
+    Patches split into contiguous index ranges; the per-patch eigen tables
+    slice along their patch-last axis; weights/RAS masks ride the blocked
+    dof layout.  Same gather -> local FDM -> scatter+exchange shape as the
+    operator."""
+
+    def __init__(self, asm, part: GeneralPartition, jmesh: Mesh):
+        self.asm = asm
+        self.part = part
+        self.jmesh = jmesh
+        D = part.n_dev
+        idx = np.asarray(asm.patch_idx, np.int64)  # (P, Lp), n = pad
+        self.tabs = part.slot_tables(idx)
+        bounds = self.tabs.bounds
+        Pmax = self.tabs.Smax
+
+        def split_last(a):  # (..., P) -> (D, ..., Pmax), zero-padded
+            a = np.asarray(a)
+            out = np.zeros((D,) + a.shape[:-1] + (Pmax,), a.dtype)
+            for d in range(D):
+                lo, hi = bounds[d], bounds[d + 1]
+                out[d, ..., : hi - lo] = a[..., lo:hi]
+            return out
+
+        Vt, lam = asm.lanes
+        self.Vt_dev = tuple(jnp.asarray(split_last(v)) for v in Vt)
+        self.lam_dev = tuple(jnp.asarray(split_last(l)) for l in lam)
+        self.ras_dev = None
+        if asm.ras_mask_T is not None:
+            self.ras_dev = jnp.asarray(split_last(
+                np.asarray(asm.ras_mask_T)))
+        self.weights_b = part.pad(asm.weights)
+        self.wt = asm.weighting_type
+        self.m, self.dim = asm.m, asm.dim
+
+    def vmult_blocked(self, xb):
+        from ..precond.asm import fdm_apply_lanes
+
+        part, tabs = self.part, self.tabs
+        x = xb
+        if self.wt in ("pre", "symm"):
+            x = x * self.weights_b
+        spec_v = P(AXIS)
+        spec_t = lambda a: P(AXIS, *([None] * (a.ndim - 1)))
+
+        ras = (self.ras_dev,) if self.ras_dev is not None else ()
+
+        def kernel(x_d, gt_d, ft_d, rt_d, *tabs_dev):
+            gt, ft, rt = gt_d[0], ft_d[0], rt_d[0]
+            nV = len(self.Vt_dev)
+            Vt = [t[0] for t in tabs_dev[:nV]]
+            lam = [t[0] for t in tabs_dev[nV: 2 * nV]]
+            rmask = tabs_dev[2 * nV][0] if ras else None
+            xfull = jax.lax.all_gather(x_d, AXIS, tiled=True)
+            xfull = jnp.concatenate([xfull, jnp.zeros((1,), xfull.dtype)])
+            local = xfull[ft]
+            W = local[gt]  # (Lp, Pmax)
+            y = fdm_apply_lanes(W, self.m, self.dim, Vt, lam)
+            if rmask is not None:
+                y = y * rmask
+            partv = jnp.zeros(part.B + tabs.Gmax + 1, x_d.dtype).at[
+                gt.reshape(-1)].add(y.reshape(-1))
+            own = partv[: part.B]
+            ghost = partv[part.B: part.B + tabs.Gmax]
+            gall = jax.lax.all_gather(ghost, AXIS, tiled=False).reshape(-1)
+            own = jnp.concatenate(
+                [own, jnp.zeros((1,), own.dtype)]).at[rt].add(gall)[:-1]
+            return own
+
+        fn = shard_map(
+            kernel, mesh=self.jmesh,
+            in_specs=(spec_v, spec_t(tabs.gather_tab), spec_t(tabs.fetch_tab),
+                      spec_t(tabs.recv_tab))
+            + tuple(spec_t(t) for t in self.Vt_dev)
+            + tuple(spec_t(t) for t in self.lam_dev)
+            + tuple(spec_t(t) for t in ras),
+            out_specs=spec_v)
+        dst = fn(x.astype(self.weights_b.dtype), tabs.gather_tab,
+                 tabs.fetch_tab, tabs.recv_tab, *self.Vt_dev,
+                 *self.lam_dev, *ras)
+        if self.wt in ("post", "symm"):
+            dst = dst * self.weights_b
+        return dst
+
+    def vmult_global(self, x):
+        return self.part.unpad(self.vmult_blocked(self.part.pad(x)))
+
+
+class ShardedGeneralTransfer:
+    """Sharded-fine / replicated-coarse junction of GeneralTwoLevelTransfer.
+
+    The replicated coarse side is the reference's shrinking-coarse analog
+    (P7): every device holds the full coarse vector and runs the identical
+    inner multigrid on it."""
+
+    def __init__(self, tr, part: GeneralPartition, jmesh: Mesh):
+        self.tr = tr
+        self.part = part
+        self.jmesh = jmesh
+        D = part.n_dev
+        fine_lat = np.asarray(tr.fine_lat, np.int64)  # (C, Lf)
+        C = fine_lat.shape[0]
+        self.tabs = part.slot_tables(fine_lat)
+        bounds = self.tabs.bounds
+        self.Cmax = self.tabs.Smax
+        ccd = np.asarray(tr.coarse_cd, np.int64)  # (C, Lc)
+        nc = tr.n_coarse
+        ctab = np.full((D, self.Cmax, ccd.shape[1]), nc, np.int64)
+        for d in range(D):
+            lo, hi = bounds[d], bounds[d + 1]
+            ctab[d, : hi - lo] = ccd[lo:hi]
+        self.coarse_tab = jnp.asarray(ctab, jnp.int32)
+        self.inv_valence_b = part.pad(tr.fine_inv_valence)
+        self.fine_constrained_b = part.pad(tr.fine_constrained)
+
+    def prolongate_blocked(self, uc):
+        """replicated coarse (nc,) -> blocked fine (NB,)."""
+        part, tabs, tr = self.part, self.tabs, self.tr
+        spec_v = P(AXIS)
+        spec_t = lambda a: P(AXIS, *([None] * (a.ndim - 1)))
+
+        def kernel(uc_r, ct_d, gt_d, rt_d):
+            ct, gt, rt = ct_d[0], gt_d[0], rt_d[0]
+            u0 = jnp.where(tr.coarse_constrained, 0.0, uc_r)
+            ucp = jnp.concatenate([u0, jnp.zeros((1,), u0.dtype)])
+            ucell = ucp[ct]  # (Cmax, Lc)
+            vf = tr._interp(ucell)  # (Cmax, Lf)
+            partv = jnp.zeros(part.B + tabs.Gmax + 1, vf.dtype).at[
+                gt.reshape(-1)].add(vf.T.reshape(-1))
+            own = partv[: part.B]
+            ghost = partv[part.B: part.B + tabs.Gmax]
+            gall = jax.lax.all_gather(ghost, AXIS, tiled=False).reshape(-1)
+            own = jnp.concatenate(
+                [own, jnp.zeros((1,), own.dtype)]).at[rt].add(gall)[:-1]
+            return own
+
+        fn = shard_map(
+            kernel, mesh=self.jmesh,
+            in_specs=(P(), spec_t(self.coarse_tab), spec_t(tabs.gather_tab),
+                      spec_t(tabs.recv_tab)),
+            out_specs=spec_v)
+        out = fn(uc, self.coarse_tab, tabs.gather_tab, tabs.recv_tab)
+        out = out * self.inv_valence_b
+        return jnp.where(self.fine_constrained_b, 0.0, out)
+
+    def restrict_blocked(self, rb):
+        """blocked fine (NB,) -> replicated coarse (nc,)."""
+        part, tabs, tr = self.part, self.tabs, self.tr
+        spec_v = P(AXIS)
+        spec_t = lambda a: P(AXIS, *([None] * (a.ndim - 1)))
+        r = jnp.where(self.fine_constrained_b, 0.0, rb)
+        r = r * self.inv_valence_b
+
+        def kernel(r_d, ct_d, gt_d, ft_d):
+            ct, gt, ft = ct_d[0], gt_d[0], ft_d[0]
+            rfull = jax.lax.all_gather(r_d, AXIS, tiled=True)
+            rfull = jnp.concatenate([rfull, jnp.zeros((1,), rfull.dtype)])
+            local = rfull[ft]
+            W = local[gt]  # (Lf, Cmax)
+            vc = tr._interp_t(W.T)  # (Cmax, Lc)
+            out = jnp.zeros(tr.n_coarse + 1, vc.dtype).at[
+                ct.reshape(-1)].add(vc.reshape(-1))[:-1]
+            return jax.lax.psum(out, AXIS)
+
+        fn = shard_map(
+            kernel, mesh=self.jmesh,
+            in_specs=(spec_v, spec_t(self.coarse_tab),
+                      spec_t(tabs.gather_tab), spec_t(tabs.fetch_tab)),
+            out_specs=P())
+        out = fn(r, self.coarse_tab, tabs.gather_tab, tabs.fetch_tab)
+        return jnp.where(self.tr.coarse_constrained, 0.0, out)

@@ -58,3 +58,51 @@ class TestShardedOperator:
         tol = 1e-11 if dtype == jnp.float64 else 2e-5
         np.testing.assert_allclose(got, ref, rtol=0,
                                    atol=tol * np.abs(ref).max())
+
+
+class TestShardedASM:
+    @pytest.mark.parametrize("wt", ["symm", "post", "ras"])
+    def test_matches_single_device(self, wt):
+        from dealii_asm_tpu.precond.asm_general import GeneralASMPreconditioner
+
+        mesh = hyper_ball_balanced(3).refine()
+        dh = GeneralDofHandler(mesh, 2)
+        asm = GeneralASMPreconditioner(dh, n_overlap=1, weighting_type=wt,
+                                       dtype=jnp.float32)
+        part = GeneralPartition(dh, 8)
+        from dealii_asm_tpu.parallel.general_sharded import ShardedGeneralASM
+
+        sasm = ShardedGeneralASM(asm, part, _mesh(8))
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal(dh.n_dofs), jnp.float32)
+        ref = np.asarray(asm.vmult(x), np.float64)
+        got = np.asarray(sasm.vmult_global(x), np.float64)
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=3e-5 * np.abs(ref).max())
+
+
+class TestShardedTransfer:
+    def test_matches_single_device(self):
+        from dealii_asm_tpu.ops.transfer_general import GeneralTwoLevelTransfer
+        from dealii_asm_tpu.parallel.general_sharded import (
+            ShardedGeneralTransfer)
+
+        mesh = hyper_ball_balanced(3)
+        dh_c = GeneralDofHandler(mesh, 1)
+        dh_f = GeneralDofHandler(mesh, 2)
+        tr = GeneralTwoLevelTransfer(dh_c, dh_f, dtype=jnp.float32)
+        part = GeneralPartition(dh_f, 4)
+        st = ShardedGeneralTransfer(tr, part, _mesh(4))
+        rng = np.random.default_rng(3)
+        uc = jnp.asarray(rng.standard_normal(dh_c.n_dofs), jnp.float32)
+        rf = jnp.asarray(rng.standard_normal(dh_f.n_dofs), jnp.float32)
+
+        ref_p = np.asarray(tr.prolongate(uc), np.float64)
+        got_p = np.asarray(part.unpad(st.prolongate_blocked(uc)), np.float64)
+        np.testing.assert_allclose(got_p, ref_p, rtol=0,
+                                   atol=3e-6 * (np.abs(ref_p).max() + 1))
+
+        ref_r = np.asarray(tr.restrict(rf), np.float64)
+        got_r = np.asarray(st.restrict_blocked(part.pad(rf)), np.float64)
+        np.testing.assert_allclose(got_r, ref_r, rtol=0,
+                                   atol=3e-6 * (np.abs(ref_r).max() + 1))

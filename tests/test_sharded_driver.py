@@ -65,12 +65,23 @@ class TestShardedDriver:
                                    np.asarray(r1["solution"]),
                                    rtol=1e-7, atol=1e-9)
 
-    def test_unstructured_rejected(self):
+    def test_unstructured_sharded_matches_single_device(self):
+        # P1/P3 for every mesh family (round 5): the hyperball routes
+        # through the sharded-fine / replicated-coarse path
+        # (parallel/general_sharded.py) with single-device iteration parity
         cfg = _cfg(**{"n devices": 8})
         cfg["mesh"] = {"name": "hyperball"}
         cfg["n refinements"] = 1
-        with pytest.raises(ValueError, match="structured"):
-            run_config(cfg, log=lambda *_: None)
+        cfg["degree"] = 2
+        res8 = run_config(cfg, log=lambda *_: None)
+        cfg1 = dict(cfg)
+        cfg1["n devices"] = 1
+        res1 = run_config(cfg1, log=lambda *_: None)
+        assert res8["converged"] and res1["converged"]
+        assert res8["it"] == res1["it"]
+        np.testing.assert_allclose(np.asarray(res8["solution"]),
+                                   np.asarray(res1["solution"]),
+                                   rtol=0, atol=1e-8)
 
 
 class TestShardedBenchmark:
