@@ -1,0 +1,75 @@
+"""Round-5 follow-up TPU queue (one process): ball E2E with the all-dd
+outer CG + the r=7 --f32 large-scaling rungs.
+
+    python -m experiments.run_followup_queue [tasks...]
+    tasks: ball r7   (default: both)
+"""
+
+import json
+import sys
+import time
+import traceback
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+OUT = "experiments/results_unstructured_queue.jsonl"
+
+
+def record(rec):
+    rec["t"] = time.strftime("%H:%M:%S")
+    print(">>", json.dumps(rec), flush=True)
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+def fence(name, fn):
+    print(f"==== {name} ====", flush=True)
+    t0 = time.time()
+    try:
+        fn()
+        record({"task": name, "ok": True,
+                "seconds": round(time.time() - t0, 1)})
+    except Exception as e:
+        traceback.print_exc()
+        record({"task": name, "ok": False,
+                "seconds": round(time.time() - t0, 1),
+                "error": f"{type(e).__name__}: {e}"[:500]})
+
+
+def task_ball():
+    from dealii_asm_tpu.models.poisson import run_config
+
+    params = json.load(open("experiments/e2e_ball_q4.json"))
+    t0 = time.time()
+    res = run_config(params, log=lambda *a: None)
+    record({"task": "ball_L5_e2e_alldd", "it": res["it"],
+            "solve_seconds": res["time"], "n_dofs": res["n_dofs"],
+            "converged": res.get("converged"),
+            "total_seconds": round(time.time() - t0, 1),
+            "reference": "data.pdf Table 15: 6 it / 0.226 s (40-rank node)"})
+
+
+def task_r7():
+    from experiments import run_large_scaling
+
+    old = sys.argv
+    sys.argv = ["run_large_scaling", "--f32", "fdm1:7", "diag:7"]
+    try:
+        run_large_scaling.main()
+    finally:
+        sys.argv = old
+
+
+def main():
+    tasks = sys.argv[1:] or ["ball", "r7"]
+    fns = {"ball": task_ball, "r7": task_r7}
+    for t in tasks:
+        fence(t, fns[t])
+
+
+if __name__ == "__main__":
+    main()
