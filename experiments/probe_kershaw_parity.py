@@ -89,6 +89,23 @@ def run_variant(params, name):
         _cheb.estimate_eigenvalues = _ORIG_ESTIMATE
     print(f"  {name:16s} it={res['it']:4d}  solve={res['time']:.3f}s  "
           f"(total {dt:.0f}s, n_dofs={res['n_dofs']})", flush=True)
+    with open("experiments/results_unstructured_queue.jsonl", "a") as fh:
+        fh.write(json.dumps({"task": "kershaw_parity", "variant": name,
+                             "it": res["it"], "solve_seconds": res["time"],
+                             "n_dofs": res["n_dofs"]}) + "\n")
+    # long-lived probe processes accumulate device buffers across variants
+    # (jit caches hold hoisted-const references) — drop them or the 4th
+    # 7.2M-DoF setup in one process OOMs the 16 GB chip (measured r5)
+    res = {k: res[k] for k in ("it", "time", "n_dofs")}
+    import gc
+
+    import jax as _jax
+
+    from dealii_asm_tpu.solvers import krylov as _krylov
+
+    _krylov._CG_DD_CACHE.clear()
+    _jax.clear_caches()
+    gc.collect()
     return res
 
 

@@ -26,6 +26,18 @@ def record(rec):
         fh.write(json.dumps(rec) + "\n")
 
 
+def _cleanup():
+    """Drop device buffers between tasks — jit caches hold hoisted-const
+    references and the 4th 7.2M-DoF setup in one process OOMs the chip."""
+    import gc
+
+    from dealii_asm_tpu.solvers import krylov as _krylov
+
+    _krylov._CG_DD_CACHE.clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 def fence(name, fn):
     print(f"==== {name} ====", flush=True)
     t0 = time.time()
@@ -38,6 +50,7 @@ def fence(name, fn):
         record({"task": name, "ok": False,
                 "seconds": round(time.time() - t0, 1),
                 "error": f"{type(e).__name__}: {e}"[:500]})
+    _cleanup()
 
 
 def task_ball():
@@ -64,9 +77,48 @@ def task_r7():
         sys.argv = old
 
 
+def task_fdmv():
+    from dealii_asm_tpu.models.poisson import run_config
+
+    for path, label, ref in (
+            ("experiments/e2e_kershaw_fdmv.json", "kershaw_fdmv_e2e",
+             "data.pdf Table 13 cg-fdm symm v k=2: 49 it / 2.82 s"),
+            ("experiments/e2e_ball_fdmv.json", "ball_fdmv_e2e",
+             "data.pdf Table 15 vertex-patch rows (L=4 size)")):
+        params = json.load(open(path))
+        t0 = time.time()
+        res = run_config(params, log=lambda *a: None)
+        record({"task": label, "it": res["it"],
+                "solve_seconds": res["time"], "n_dofs": res["n_dofs"],
+                "converged": res.get("converged"),
+                "total_seconds": round(time.time() - t0, 1),
+                "reference": ref})
+        _cleanup()
+
+
+def _parity(variants):
+    from experiments import probe_kershaw_parity
+
+    old = sys.argv
+    sys.argv = ["probe_kershaw_parity", "3"] + variants
+    try:
+        probe_kershaw_parity.main()
+    finally:
+        sys.argv = old
+
+
+def task_parity_a():
+    _parity(["evexact", "evscale:0.95", "evscale:1.05"])
+
+
+def task_parity_b():
+    _parity(["k:1", "k:3"])
+
+
 def main():
     tasks = sys.argv[1:] or ["ball", "r7"]
-    fns = {"ball": task_ball, "r7": task_r7}
+    fns = {"ball": task_ball, "r7": task_r7, "fdmv": task_fdmv,
+           "parity_a": task_parity_a, "parity_b": task_parity_b}
     for t in tasks:
         fence(t, fns[t])
 
