@@ -42,7 +42,6 @@ class TestPartition:
 class TestShardedOperator:
     @pytest.mark.parametrize("n_dev,degree,dtype", [
         (4, 2, jnp.float64),
-        (8, 3, jnp.float64),
         (8, 2, jnp.float32),
     ])
     def test_vmult_matches_single_device(self, n_dev, degree, dtype):
