@@ -96,6 +96,20 @@ def task_fdmv():
         _cleanup()
 
 
+def task_fdmv_small():
+    """Crash isolation: same vertex-patch code paths at n_ref=2 (~1M)."""
+    from dealii_asm_tpu.models.poisson import run_config
+
+    params = json.load(open("experiments/e2e_kershaw_fdmv.json"))
+    params["n refinements"] = 2
+    params["solver"]["best of"] = 1
+    t0 = time.time()
+    res = run_config(params, log=lambda *a: None)
+    record({"task": "kershaw_fdmv_small", "it": res["it"],
+            "solve_seconds": res["time"], "n_dofs": res["n_dofs"],
+            "total_seconds": round(time.time() - t0, 1)})
+
+
 def _parity(variants):
     from experiments import probe_kershaw_parity
 
@@ -118,6 +132,7 @@ def task_parity_b():
 def main():
     tasks = sys.argv[1:] or ["ball", "r7"]
     fns = {"ball": task_ball, "r7": task_r7, "fdmv": task_fdmv,
+           "fdmv_small": task_fdmv_small,
            "parity_a": task_parity_a, "parity_b": task_parity_b}
     for t in tasks:
         fence(t, fns[t])
