@@ -65,6 +65,10 @@ class GeneralLaplaceOperator:
         self.dim = self.mesh.dim
         self.n_q_1d = n_q_1d or (self.degree + 1)
         self.dtype = dtype
+        # "lanes-pallas": the lanes layout with the fused dd kernel forced
+        # even off-TPU (interpret mode; CPU equality tests)
+        self._force_pallas = kernel == "lanes-pallas"
+        kernel = "lanes" if self._force_pallas else kernel
         self.kernel = kernel
         self.matmul_precision = matmul_precision
         if mapping_degree is None:
@@ -125,7 +129,12 @@ class GeneralLaplaceOperator:
                 import os as _os
 
                 backend = jax.default_backend()
-                if self.dim == 3 and backend in ("tpu", "axon", "cpu"):
+                # attach policy mirrors laplace.py's merged kernel: real
+                # TPU backends, or kernel="lanes-pallas" forcing interpret
+                # mode (CPU equality tests) — NOT plain CPU, where the
+                # interpret execution would slow every consumer
+                want = backend in ("tpu", "axon") or self._force_pallas
+                if self.dim == 3 and want:
                     try:
                         from .pallas.lanes_vmult import LanesDDVmultKernel
 

@@ -21,7 +21,8 @@ from dealii_asm_tpu.ops.laplace_general import GeneralLaplaceOperator
 def test_matches_sumfac_oracle(degree):
     mesh = hyper_ball_balanced(3)
     dh = GeneralDofHandler(mesh, degree)
-    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64,
+                                   kernel="lanes-pallas")
     assert getattr(lanes, "_lanes_dd_pallas", None) is not None, \
         "kernel must attach on the 3D f64 lanes path"
     oracle = GeneralLaplaceOperator(dh, dtype=jnp.float64, kernel="sumfac")
@@ -37,7 +38,8 @@ def test_matches_xla_dd_composition():
     # refined ball: C = 56 cells exercises >1 lane tile and cell padding
     mesh = hyper_ball_balanced(3).refine()
     dh = GeneralDofHandler(mesh, 3)
-    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    lanes = GeneralLaplaceOperator(dh, dtype=jnp.float64,
+                                   kernel="lanes-pallas")
     kern = lanes._lanes_dd_pallas
     assert kern is not None
 
@@ -74,7 +76,8 @@ def test_matches_xla_dd_composition():
 def test_gather_table_layout():
     mesh = hyper_ball_balanced(3)
     dh = GeneralDofHandler(mesh, 2)
-    op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    op = GeneralLaplaceOperator(dh, dtype=jnp.float64,
+                                kernel="lanes-pallas")
     kern = op._lanes_dd_pallas
     m = 3
     cd = np.asarray(dh.cell_dofs)
@@ -93,7 +96,8 @@ def test_vmult_dd_matches_vmult():
     # the all-dd outer CG matvec (supports_dd contract, laplace.py parity)
     mesh = hyper_ball_balanced(3)
     dh = GeneralDofHandler(mesh, 3)
-    op = GeneralLaplaceOperator(dh, dtype=jnp.float64)
+    op = GeneralLaplaceOperator(dh, dtype=jnp.float64,
+                                kernel="lanes-pallas")
     assert op.supports_dd
     from dealii_asm_tpu.ops.ddmath import dd_from_f64
 
