@@ -142,18 +142,44 @@ class StructuredMesh:
         B, sp = self.jacobian_factors(mapping_degree, quad_pts_1d)
         return np.einsum("qld,cle->cqed", B, sp, optimize=True)
 
-    def harmonic_cell_extents(self, n_q_1d: int = 2) -> np.ndarray:
+    def harmonic_cell_extents(self, n_q_1d: int = 2,
+                              mapping_degree: int | None = None) -> np.ndarray:
         """(C, dim) quadrature-averaged distance between opposite face points.
 
         Mirrors compute_harmonic_cell_extend
         (/root/reference/include/grid_tools.h:11-50): for each axis d, average
         over face quadrature points of |x(face0, q) - x(face1, q)|.
+
+        mapping_degree: evaluate the face points through the degree-m
+        ISOPARAMETRIC mapping (the reference's FEFaceValues sees the
+        MappingQCache-interpolated geometry, not the analytic transform —
+        the operator here does too, mesh/grid.py jacobian_factors).  None
+        keeps the analytic evaluation (historic default; the Kershaw
+        parity probe measures the difference, results_r5.md).
         """
         C = self.n_cells_total
         if self.transform is None:
             # axis-aligned affine: extents are the box cell widths exactly
             return np.broadcast_to(self.h, (C, self.dim)).copy()
         q, w = gauss_points(n_q_1d)
+
+        def to_physical(unit_pts):
+            if mapping_degree is None:
+                return self.physical_points(unit_pts)
+            from ..fem.lagrange import lagrange_values
+
+            gll = gauss_lobatto_points(mapping_degree + 1)
+            sp = self.mapping_support_points(mapping_degree)  # (C, L, dim)
+            m1 = mapping_degree + 1
+            vals = [lagrange_values(gll, unit_pts[:, d])  # (P, m1)
+                    for d in range(self.dim)]
+            N = vals[0]
+            for d in range(1, self.dim):
+                # support lattice x fastest: l = (..·m1 + l1)·m1 + l0
+                N = (vals[d][:, :, None] * N[:, None, :]).reshape(
+                    N.shape[0], -1)
+            return np.einsum("pl,cld->cpd", N, sp)
+
         out = np.empty((C, self.dim))
         for d in range(self.dim):
             # face quadrature lattice on the two faces orthogonal to axis d
@@ -163,8 +189,8 @@ class StructuredMesh:
                 coords = axes.copy()
                 coords[d] = np.array([val])
                 face_pts.append(_tensor_lattice_nd(coords))
-            p0 = self.physical_points(face_pts[0])  # (C, Qf, dim)
-            p1 = self.physical_points(face_pts[1])
+            p0 = to_physical(face_pts[0])  # (C, Qf, dim)
+            p1 = to_physical(face_pts[1])
             dist = np.linalg.norm(p1 - p0, axis=2)  # (C, Qf)
             wf = _tensor_weights([w if i != d else np.array([1.0]) for i in range(self.dim)])
             out[:, d] = dist @ wf
@@ -184,13 +210,22 @@ class StructuredMesh:
         s = np.linalg.svd(J, compute_uv=False)  # (C, Q, dim) descending
         return float((s[..., 0] / s[..., -1]).max())
 
-    def harmonic_patch_extents(self, n_q_1d: int = 2) -> np.ndarray:
+    def harmonic_patch_extents(self, n_q_1d: int = 2,
+                               mapping_degree: int | None = None) -> np.ndarray:
         """(C, dim, 3) extents [left-neighbor, own, right-neighbor]; 0 if no neighbor.
 
         Mirrors compute_harmonic_patch_extend
         (/root/reference/include/grid_tools.h:54-138) including periodicity.
+        DEALII_ASM_TPU_EXTENT_MAPPING_DEGREE overrides the mapping used for
+        the face-point evaluation (parity experiment, see
+        harmonic_cell_extents).
         """
-        ext = self.harmonic_cell_extents(n_q_1d)
+        import os as _os
+
+        env = _os.environ.get("DEALII_ASM_TPU_EXTENT_MAPPING_DEGREE")
+        if env and mapping_degree is None:
+            mapping_degree = int(env)
+        ext = self.harmonic_cell_extents(n_q_1d, mapping_degree)
         nbr = self.neighbors()
         C = self.n_cells_total
         out = np.zeros((C, self.dim, 3))
