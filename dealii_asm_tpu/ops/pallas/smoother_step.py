@@ -1139,7 +1139,11 @@ class SmootherStepKernel:
                + 2 * p * plane // 2       # r ring (bf16)
                + 2 * plane                # FDM carries
                + 3 * 2 * p * plane)       # x/b/out double buffers
-        if est > 88 * 1024 * 1024:
+        # threshold 60 MiB: (256, 256) planes estimate ~20 MiB (fine);
+        # (512, 512) ~78 MiB — at that size the remote compile reproducibly
+        # dies mid-response (large-scaling r=7, results_r5.md), so eligible-
+        # but-too-big shapes take the XLA fallback instead of crashing
+        if est > 60 * 1024 * 1024:
             raise ValueError(
                 f"SmootherStepKernel: estimated VMEM {est >> 20} MiB for "
                 f"({nyp}, {nxp}) planes exceeds the Mosaic budget — "
