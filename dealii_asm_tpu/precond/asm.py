@@ -641,15 +641,30 @@ class ASMPreconditioner:
             dst = jnp.where(self.constrained, 0.0, dst)
         elif self.lanes is not None:
             # vertex / non-lattice patches: index gather straight into the
-            # lane-major layout via the transposed (L, P) index table
+            # lane-major layout via the transposed (L, P) index table.
+            # CHUNK the patch axis: the unchunked apply materializes ~10
+            # (L, P) intermediates — at 7.2M-DoF deformed-vertex that is
+            # ~8 GB of transients, which took the TPU worker down
+            # (results_r5.md).  Static chunks, ~256 MB of gathered W each.
             xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-            W = xpad[self.patch_idx_T]  # (L, P)
-            y = self._fdm_apply_lanes(W)
-            if self.ras_mask_T is not None:
-                y = y * self.ras_mask_T
-            dst = jnp.zeros(self.n_dofs + 1, x.dtype).at[
-                self.patch_idx_T.reshape(-1)
-            ].add(y.reshape(-1))[:-1]
+            L, Pn = self.patch_idx_T.shape
+            n_chunks = max(1, int(np.ceil(
+                L * Pn * 4 / getattr(self, "_gather_chunk_bytes",
+                                     256 << 20))))
+            Vt, lams = self.lanes
+            bounds = np.linspace(0, Pn, n_chunks + 1).astype(int)
+            dst = jnp.zeros(self.n_dofs + 1, x.dtype)
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                idx = self.patch_idx_T[:, lo:hi]
+                W = xpad[idx]
+                y = fdm_apply_lanes(
+                    W, self.m, self.dim,
+                    [v[..., lo:hi] for v in Vt],
+                    [l[..., lo:hi] for l in lams])
+                if self.ras_mask_T is not None:
+                    y = y * self.ras_mask_T[:, lo:hi]
+                dst = dst.at[idx.reshape(-1)].add(y.reshape(-1))
+            dst = dst[:-1]
         else:
             xpad = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
             xp = xpad[self.patch_idx]  # (C, m^dim)

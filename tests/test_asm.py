@@ -261,3 +261,25 @@ def test_mesh_cache_invalidation_on_mutation():
     sp2 = mesh.cell_mapping_points(2)
     assert sp2 is not sp1
     np.testing.assert_allclose(sp1, sp2)
+
+
+def test_gather_lanes_chunked_matches_unchunked():
+    """Chunked vertex gather apply (deformed meshes at scale) == one-chunk."""
+    from dealii_asm_tpu.mesh.grid import StructuredMesh
+    from dealii_asm_tpu.mesh.transforms import kershaw_transform
+    from dealii_asm_tpu.fem.dofs import DofHandler
+    from dealii_asm_tpu.precond.asm import ASMPreconditioner
+
+    mesh = StructuredMesh(3, (6, 6, 6), transform=kershaw_transform(0.3, 0.3))
+    dofs = DofHandler(mesh, 2)
+    asm = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                            patch_type="vertex", dtype=jnp.float64)
+    assert asm.access == "gather" and asm.lanes is not None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.n_dofs))
+    ref = np.asarray(asm.vmult(x))
+    asm2 = ASMPreconditioner(dofs, n_overlap=1, weighting_type="symm",
+                             patch_type="vertex", dtype=jnp.float64)
+    asm2._gather_chunk_bytes = 4096  # force many chunks
+    got = np.asarray(asm2.vmult(x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-13 * np.abs(ref).max())
